@@ -1,0 +1,42 @@
+"""Test configuration: run on a virtual 8-device CPU mesh by default.
+
+Real-TPU tests are opt-in via the `tpu` marker and RUN_TPU_TESTS=1.
+"""
+
+import os
+
+# Must be set before jax import. The session environment pins
+# JAX_PLATFORMS=axon (real TPU); tests run on a virtual CPU mesh unless
+# RUN_TPU_TESTS is set.
+if not os.environ.get("RUN_TPU_TESTS"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+if not os.environ.get("RUN_TPU_TESTS"):
+    # The axon sitecustomize hook calls jax.config.update("jax_platforms",
+    # "axon,cpu") at interpreter start, which overrides the env var — so we
+    # override the config value back here, before any backend initializes.
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RUN_TPU_TESTS"):
+        return
+    skip_tpu = pytest.mark.skip(reason="needs real TPU (set RUN_TPU_TESTS=1)")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip_tpu)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12345)
