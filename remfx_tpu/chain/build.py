@@ -1,0 +1,75 @@
+"""Construct a ChainInference system from a chain-experiment config
+(the cfg/exp/remfx_{oracle,detect,all}.yaml surface)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from remfx_tpu.chain.inference import ChainInference
+from remfx_tpu.models import make_cnn14, make_model
+from remfx_tpu.train.checkpoint import restore_from
+from remfx_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def build_chain(cfg: dict, example_x) -> ChainInference:
+    key = jax.random.PRNGKey(cfg["seed"])
+    models = {}
+    for class_name, spec in cfg.get("ckpts", {}).items():
+        model_name = spec["model"] if isinstance(spec["model"], str) else (
+            spec["model"].get("name")
+        )
+        net_cfg = {}
+        if isinstance(spec["model"], dict):
+            net_cfg = spec["model"].get("network", {})
+        from remfx_tpu.config.experiments import MODEL_CONFIGS
+
+        if model_name in MODEL_CONFIGS and not net_cfg:
+            net_cfg = MODEL_CONFIGS[model_name].get("network", {})
+            base_name = MODEL_CONFIGS[model_name]["name"]
+        else:
+            base_name = model_name
+        wrapper = make_model(base_name, sample_rate=cfg["sample_rate"], **net_cfg)
+        key, sub = jax.random.split(key)
+        variables = wrapper.init(sub, example_x)
+        ckpt_path = spec.get("ckpt_path")
+        if ckpt_path and Path(ckpt_path).exists():
+            variables = restore_from(ckpt_path, variables)
+            log.info("loaded %s from %s", class_name, ckpt_path)
+        else:
+            log.warning("checkpoint %s missing for %s — using random init",
+                        ckpt_path, class_name)
+        models[class_name] = (wrapper, variables)
+
+    classifier = None
+    if cfg.get("classifier") is not None:
+        net = make_cnn14(
+            num_classes=cfg["num_classes"],
+            sample_rate=cfg["sample_rate"],
+            **cfg["classifier"].get("network", {}),
+        )
+        key, sub = jax.random.split(key)
+        cls_vars = net.init({"params": sub}, example_x, False)
+        ckpt = cfg.get("classifier_ckpt")
+        if ckpt and Path(ckpt).exists():
+            cls_vars = restore_from(ckpt, cls_vars)
+            log.info("loaded classifier from %s", ckpt)
+        else:
+            log.warning("classifier ckpt %s missing — using random init", ckpt)
+        classifier = (net, cls_vars)
+
+    from remfx_tpu.chain.inference import DEFAULT_ORDER
+
+    order = tuple(cfg.get("inference_effects_ordering", ())) or DEFAULT_ORDER
+    return ChainInference(
+        models,
+        sample_rate=cfg["sample_rate"],
+        effect_order=order,
+        classifier=classifier,
+        shuffle_effect_order=cfg.get("inference_effects_shuffle", False),
+        use_all_effect_models=cfg.get("inference_use_all_effect_models", False),
+    )

@@ -1,0 +1,147 @@
+"""RemFX chain inference — detect + remove as one compiled dispatch.
+
+Parity target: ``RemFXChainInference`` (reference remfx/models.py:22-149):
+given wet audio, detect which of the five effects are present (classifier
+probs > 0.5, or ground-truth labels in "oracle" mode, or all effects in
+"all" mode), then apply the matching removal models in the configured
+order (cfg/exp/remfx_detect.yaml:80-85).
+
+TPU-first: the reference loops per example with batch-1 model calls
+(models.py:93-104 — its throughput bottleneck). Here the chain is a
+static sequence of stages over the *whole batch*; each stage applies its
+removal model and a per-example mask selects processed vs. passthrough:
+
+    y = where(mask[:, None, None], model_k(y), y)
+
+One jit compiles the classifier + all five backbones into a single
+graph; no host round-trips during inference.
+
+Length semantics: if a backbone shortens its output (e.g. valid-conv
+TCN), the passthrough branch is causal-cropped to match, so the batch
+stays rectangular (the reference's per-example loop would produce ragged
+outputs and crash on stack; published backbones preserve length).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from remfx_tpu import ALL_EFFECTS, EFFECT_CLASS_NAMES
+from remfx_tpu.losses import l1_loss, multi_resolution_stft_loss, si_sdr
+from remfx_tpu.utils.crop import causal_crop
+
+DEFAULT_ORDER = (
+    "RandomPedalboardDistortion",
+    "RandomPedalboardCompressor",
+    "RandomPedalboardReverb",
+    "RandomPedalboardChorus",
+    "RandomPedalboardDelay",
+)
+
+
+class ChainInference:
+    """models: {effect class name: (wrapper, variables)}; classifier:
+    (network, variables) or None."""
+
+    def __init__(
+        self,
+        models: dict,
+        sample_rate: int,
+        effect_order=DEFAULT_ORDER,
+        classifier=None,
+        shuffle_effect_order: bool = False,
+        use_all_effect_models: bool = False,
+        threshold: float = 0.5,
+    ):
+        self.models = dict(models)
+        self.sample_rate = sample_rate
+        self.effect_order = tuple(effect_order)
+        self.classifier = classifier
+        self.shuffle_effect_order = shuffle_effect_order
+        self.use_all_effect_models = use_all_effect_models
+        self.threshold = threshold
+        self._jitted = {}
+
+    # ------------------------------------------------------------------
+
+    def _chain_fn(self, order: tuple[str, ...]):
+        """Build + cache the jitted chain for a static order."""
+        if order in self._jitted:
+            return self._jitted[order]
+
+        def run(model_vars, cls_vars, x, labels):
+            if self.classifier is not None:
+                net, _ = self.classifier
+                probs = net.apply(cls_vars, x)
+                labels = (probs > self.threshold).astype(jnp.float32)
+            if self.use_all_effect_models:
+                labels = jnp.ones_like(labels)
+            y = x
+            for name in order:
+                if name not in self.models:
+                    continue
+                wrapper, _ = self.models[name]
+                idx = ALL_EFFECTS.index(EFFECT_CLASS_NAMES[name])
+                mask = labels[:, idx] > 0.5
+                out = wrapper.sample(model_vars[name], y)
+                if out.shape[-1] < y.shape[-1]:
+                    y = causal_crop(y, out.shape[-1])
+                y = jnp.where(mask[:, None, None], out, y)
+            return y, labels
+
+        fn = jax.jit(run)
+        self._jitted[order] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+
+    def forward(self, batch, order=None, verbose: bool = False):
+        """batch: (x, y, dry_labels, wet_labels) -> (loss, output).
+
+        Mirrors reference forward (models.py:52-108): classifier labels
+        override wet_labels when a classifier is present.
+        """
+        x, y, _, wet_labels = batch
+        order = tuple(order) if order is not None else self.effect_order
+        model_vars = {k: v for k, (_, v) in self.models.items()}
+        cls_vars = self.classifier[1] if self.classifier is not None else None
+        output, labels = self._chain_fn(order)(model_vars, cls_vars, x, wet_labels)
+        if verbose:
+            present = [
+                name
+                for name in order
+                if float(labels[0, ALL_EFFECTS.index(EFFECT_CLASS_NAMES[name])]) > 0.5
+            ]
+            print("Detected effects:", present)
+            print("Removing effects...")
+        if output.shape[-1] < y.shape[-1]:
+            y = causal_crop(y, output.shape[-1])
+        loss = multi_resolution_stft_loss(output, y) + 100.0 * l1_loss(output, y)
+        return loss, output
+
+    def test_step(self, batch, rng=None):
+        """-> metrics dict (test_loss/test_SISDR/test_STFT/Input_*)."""
+        import random as pyrandom
+
+        x, y, _, _ = batch
+        order = list(self.effect_order)
+        if self.shuffle_effect_order:
+            pyrandom.shuffle(order)  # reference mutates in place (quirk 11)
+            self.effect_order = tuple(order)
+        loss, output = self.forward(batch, order=order)
+        yc = y
+        if output.shape[-1] < y.shape[-1]:
+            yc = causal_crop(y, output.shape[-1])
+        return {
+            "test_loss": loss,
+            "test_SISDR": si_sdr(output, yc),
+            "test_STFT": multi_resolution_stft_loss(output, yc),
+            "Input_SISDR": si_sdr(x, y),
+            "Input_STFT": multi_resolution_stft_loss(x, y),
+        }
+
+    def sample(self, batch):
+        return self.forward(batch)[1]

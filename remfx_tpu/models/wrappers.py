@@ -1,0 +1,53 @@
+"""Removal-model wrappers: loss + sample contract.
+
+Parity target: the reference wrapper contract (remfx/models.py:259-390):
+``forward((x, target)) -> (loss, output)`` with
+``loss = MRSTFT(out, target) + 100 * L1(out, target)`` and causal-crop of
+the target when the model output is shorter (reference quirk: the crop
+drops the final sample). ``sample(x) -> y`` for chain inference.
+
+Here models are flax Modules; wrappers are thin pure-function adapters
+holding the module + loss so tasks and the chain can stay functional.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from remfx_tpu.losses import l1_loss, multi_resolution_stft_loss
+from remfx_tpu.utils.crop import causal_crop
+
+
+@dataclass
+class ModelWrapper:
+    """Wraps a flax module into the reference's (loss, output) contract."""
+
+    module: Any
+    name: str = "model"
+    # some backbones (TCN valid conv, DCUNet) shorten the output
+    l1_weight: float = 100.0
+
+    def init(self, key, example_x):
+        return self.module.init({"params": key}, example_x)
+
+    def forward(self, variables, batch, train: bool = False, rngs=None):
+        x, target = batch
+        output = self.apply(variables, x, train=train, rngs=rngs)
+        if output.shape[-1] < target.shape[-1]:
+            target = causal_crop(target, output.shape[-1])
+        loss = multi_resolution_stft_loss(output, target) + self.l1_weight * l1_loss(
+            output, target
+        )
+        return loss, output
+
+    def apply(self, variables, x, train: bool = False, rngs=None):
+        out = self.module.apply(variables, x, rngs=rngs)
+        return out
+
+    def sample(self, variables, x):
+        """Inference: (B, C, T) -> (B, C, T') denoised/removed audio."""
+        return self.apply(variables, x, train=False)

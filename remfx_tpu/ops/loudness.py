@@ -70,7 +70,11 @@ def integrated_loudness(x: jax.Array, sample_rate: int) -> jax.Array:
     T = x.shape[-1] / sample_rate
     num_blocks = int(np.round((T - t_g) / (t_g * step))) + 1
     if num_blocks < 1:
-        return jnp.asarray(-jnp.inf, jnp.float32)
+        # Signal shorter than one 400 ms gating block (never happens at the
+        # reference's 5.46 s chunks; pyloudnorm is undefined here). Fall
+        # back to ungated loudness over the whole signal.
+        power = jnp.sum(jnp.mean(y**2, axis=-1), axis=0)
+        return (-0.691 + 10.0 * jnp.log10(power)).astype(jnp.float32)
     block_len = int(t_g * sample_rate)
     hop = int(t_g * step * sample_rate)
     # final block may overrun: zero-pad (== pyloudnorm's truncated slice sum)

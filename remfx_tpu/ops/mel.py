@@ -60,8 +60,12 @@ class MelSpectrogram:
         self.power = power
         # Keep constants as *numpy* arrays: jnp closure constants captured
         # into a jit trace are pathologically slow on the target backend
-        # (see PERF_NOTES.md); np-origin constants embed cleanly.
-        self.window = np.asarray(hann_window(n_fft))
+        # (see PERF_NOTES.md); np-origin constants embed cleanly. Built
+        # with pure numpy so construction also works inside a trace.
+        n = np.arange(n_fft)
+        self.window = (0.5 * (1.0 - np.cos(2.0 * np.pi * n / n_fft))).astype(
+            np.float32
+        )
         self.fb = melscale_fbanks(n_fft // 2 + 1, n_mels, sample_rate)
 
     def __call__(self, x: jax.Array) -> jax.Array:

@@ -1,0 +1,59 @@
+"""Device mesh + sharding helpers (data parallel + tensor parallel).
+
+The reference has no distributed runtime (SURVEY.md §2.10: single GPU).
+Here parallelism is first-class: batch data-parallelism over a "dp" mesh
+axis and optional tensor sharding of wide channel dims over "tp". We
+annotate shardings with ``NamedSharding`` and let GSPMD insert the
+collectives (psum for gradients, all-gathers around tp-sharded convs) —
+no hand-written communication.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int | None = None, tp: int = 1, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    if dp * tp != n:
+        raise ValueError(f"dp*tp = {dp}*{tp} != device count {n}")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def replicate(tree, mesh: Mesh):
+    s = NamedSharding(mesh, P())
+    return jax.device_put(tree, s)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard the leading (batch) axis over dp; replicate over tp."""
+    s = NamedSharding(mesh, P("dp"))
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def shard_tcn_params(params, mesh: Mesh):
+    """Tensor-shard TCN channel dims over "tp": conv kernels (k, in, out)
+    sharded on the output-channel dim for hidden blocks; biases likewise.
+    GSPMD propagates and inserts the needed collectives."""
+
+    def spec_for(path, x):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        name = "/".join(keys)
+        if "output" in name:  # final 1x1 conv stays replicated
+            return P()
+        if x.ndim == 3:  # conv kernel (k, in, out)
+            return P(None, None, "tp")
+        if x.ndim == 1 and x.shape[0] > 1:  # bias / prelu slope (C,)
+            return P("tp")
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.device_put(x, NamedSharding(mesh, spec_for(path, x))),
+        params,
+    )

@@ -1,0 +1,66 @@
+"""Checkpoint save/restore via orbax.
+
+Parity target: Lightning ModelCheckpoint behavior (reference
+cfg/config.yaml:31-40): monitor a metric, keep top-1 ("best") + always
+save "last"; resume via explicit path (scripts/test.py:20-23).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str, monitor: str = "valid_loss", mode: str = "min"):
+        self.dir = Path(ckpt_dir).resolve()
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.best = None
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _is_better(self, value: float) -> bool:
+        if self.best is None:
+            return True
+        return value < self.best if self.mode == "min" else value > self.best
+
+    def _save(self, name: str, state):
+        path = self.dir / name
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckptr.save(path, jax.device_get(state))
+        self._ckptr.wait_until_finished()
+
+    def save_last(self, state, step: int):
+        self._save("last", state)
+        (self.dir / "last_meta.json").write_text(json.dumps({"step": step}))
+
+    def maybe_save_best(self, state, metrics: dict, step: int) -> bool:
+        if self.monitor not in metrics:
+            return False
+        value = float(metrics[self.monitor])
+        if self._is_better(value):
+            self.best = value
+            self._save("best", state)
+            (self.dir / "best_meta.json").write_text(
+                json.dumps({"step": step, self.monitor: value})
+            )
+            return True
+        return False
+
+    def restore(self, state_like, name: str = "best"):
+        path = self.dir / name
+        return self._ckptr.restore(path, jax.device_get(state_like))
+
+
+def restore_from(path: str, state_like):
+    """Restore from an explicit checkpoint directory path."""
+    return ocp.StandardCheckpointer().restore(
+        Path(path).resolve(), jax.device_get(state_like)
+    )

@@ -1,0 +1,236 @@
+"""Fit/test driver — the Lightning-Trainer role, config-driven.
+
+Mirrors the reference's train path (scripts/train.py:9-55): seed ->
+datamodule (rendering side-effect) -> model/task -> fit with per-step
+logging, validation each epoch, best/last checkpointing -> test with the
+best checkpoint.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from remfx_tpu.data.datasets import (
+    DynamicEffectDataset,
+    EffectDataset,
+    EffectDatamodule,
+    InferenceDataset,
+)
+from remfx_tpu.models import make_cnn14, make_model
+from remfx_tpu.train.checkpoint import CheckpointManager, restore_from
+from remfx_tpu.train.loggers import CSVLogger
+from remfx_tpu.train.tasks import ClassifierTask, RemovalTask
+from remfx_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def build_datamodule(cfg: dict) -> EffectDatamodule:
+    dm = cfg["datamodule"]
+    common = dict(
+        root=cfg.get("dataset_root"),
+        sample_rate=cfg["sample_rate"],
+        chunk_size=cfg["chunk_size"],
+        effects_to_keep=cfg["effects_to_keep"] or [],
+        effects_to_remove=cfg["effects_to_remove"] or [],
+        num_kept_effects=cfg["num_kept_effects"],
+        num_removed_effects=cfg["num_removed_effects"],
+        shuffle_kept_effects=cfg["shuffle_kept_effects"],
+        shuffle_removed_effects=cfg["shuffle_removed_effects"],
+        effect_overrides=cfg.get("effects"),
+        seed=cfg["seed"],
+        synthetic=dm.get("synthetic", False),
+    )
+    dstype = dm.get("dataset_type", "offline")
+    if dstype == "inference":
+        ds = InferenceDataset(root=cfg.get("dataset_root"),
+                              sample_rate=cfg["sample_rate"])
+        return EffectDatamodule(ds, ds, ds,
+                                train_batch_size=dm["train_batch_size"],
+                                test_batch_size=dm["test_batch_size"],
+                                seed=cfg["seed"])
+    if dstype == "dynamic":
+        train = DynamicEffectDataset(
+            total_chunks=dm.get("train_chunks", 8000), mode="train", **common
+        )
+    else:
+        train = EffectDataset(
+            total_chunks=dm.get("train_chunks", 8000),
+            mode="train",
+            render_files=cfg["render_files"],
+            render_root=cfg["render_root"],
+            render_batch_size=dm.get("render_batch_size", 8),
+            **common,
+        )
+    val = EffectDataset(
+        total_chunks=dm.get("val_chunks", 1000), mode="val",
+        render_files=cfg["render_files"], render_root=cfg["render_root"],
+        render_batch_size=dm.get("render_batch_size", 8), **common,
+    )
+    test = EffectDataset(
+        total_chunks=dm.get("test_chunks", 1000), mode="test",
+        render_files=cfg["render_files"], render_root=cfg["render_root"],
+        render_batch_size=dm.get("render_batch_size", 8), **common,
+    )
+    return EffectDatamodule(
+        train, val, test,
+        train_batch_size=dm["train_batch_size"],
+        test_batch_size=dm["test_batch_size"],
+        seed=cfg["seed"],
+    )
+
+
+def build_task(cfg: dict):
+    m = cfg["model"]
+    if m is None:
+        raise SystemExit("no model configured; pass +exp=NAME or model=...")
+    if m["task"] == "classifier":
+        net = make_cnn14(
+            num_classes=cfg["num_classes"],
+            sample_rate=cfg["sample_rate"],
+            **m.get("network", {}),
+        )
+        return ClassifierTask(
+            net,
+            lr=m.get("lr", 3e-4),
+            lr_weight_decay=m.get("lr_weight_decay", 1e-3),
+            use_mixup=m.get("mixup", False),
+            sample_rate=cfg["sample_rate"],
+        )
+    wrapper = make_model(m["name"], sample_rate=cfg["sample_rate"],
+                         **m.get("network", {}))
+    return RemovalTask(
+        wrapper,
+        lr=m.get("lr", 1e-4),
+        lr_beta1=m.get("lr_beta1", 0.95),
+        lr_beta2=m.get("lr_beta2", 0.999),
+        lr_eps=m.get("lr_eps", 1e-6),
+        lr_weight_decay=m.get("lr_weight_decay", 1e-3),
+        max_steps=cfg["trainer"]["max_steps"],
+        gradient_clip_val=cfg["trainer"].get("gradient_clip_val", 10.0),
+        sample_rate=cfg["sample_rate"],
+    )
+
+
+def _adapt_batch(task, batch):
+    wet, dry, dry_labels, wet_labels = batch
+    if isinstance(task, ClassifierTask):
+        return wet, wet_labels
+    return wet, dry
+
+
+def _mean_logs(rows: list[dict]) -> dict:
+    if not rows:
+        return {}
+    keys = rows[0].keys()
+    return {k: float(np.mean([float(r[k]) for r in rows])) for k in keys}
+
+
+def evaluate(task, state, loader, prefix="valid", log_audio_to=None,
+             sample_rate=48000, step=0):
+    rows = []
+    first = True
+    for batch in loader:
+        b = _adapt_batch(task, batch)
+        metrics = task.eval_step(state, b, prefix)
+        rows.append(metrics)
+        if first and log_audio_to is not None and not isinstance(task, ClassifierTask):
+            x, y = b
+            pred = task.wrapper.sample(task._variables(state), x)
+            log_audio_to.log_audio(f"{prefix}_input", np.asarray(x[0]), sample_rate, step)
+            log_audio_to.log_audio(f"{prefix}_target", np.asarray(y[0]), sample_rate, step)
+            log_audio_to.log_audio(f"{prefix}_pred", np.asarray(pred[0]), sample_rate, step)
+        first = False
+    out = _mean_logs(rows)
+    # expose epoch-style alias used by classifier checkpointing configs
+    if f"{prefix}_avg_acc" in out:
+        out[f"{prefix}_avg_acc_epoch"] = out[f"{prefix}_avg_acc"]
+    return out
+
+
+def fit(cfg: dict):
+    import jax.random as jrandom
+
+    datamodule = build_datamodule(cfg)
+    task = build_task(cfg)
+    key = jrandom.PRNGKey(cfg["seed"])
+
+    # init from one example batch
+    first_batch = next(iter(datamodule.train_dataloader()))
+    x0, _ = _adapt_batch(task, first_batch)
+    key, k_init = jrandom.split(key)
+    state = task.init_state(k_init, x0)
+    if cfg.get("ckpt_path"):
+        state = restore_from(cfg["ckpt_path"], state)
+        log.info("restored checkpoint from %s", cfg["ckpt_path"])
+
+    logger = CSVLogger(cfg["logs_dir"])
+    logger.log_hyperparams(cfg)
+    mc = cfg["callbacks"]["model_checkpoint"]
+    ckpts = CheckpointManager(
+        Path(cfg["logs_dir"]) / "ckpts" / time.strftime("%Y-%m-%d-%H-%M-%S"),
+        monitor=mc.get("monitor", "valid_loss"),
+        mode=mc.get("mode", "min"),
+    )
+
+    max_steps = cfg["trainer"]["max_steps"]
+    max_epochs = cfg["trainer"].get("max_epochs", -1)
+    log_every = cfg["trainer"].get("log_every_n_steps", 1)
+    step = 0
+    epoch = 0
+    t0 = time.time()
+    while step < max_steps and (max_epochs < 0 or epoch < max_epochs):
+        for batch in datamodule.train_dataloader():
+            b = _adapt_batch(task, batch)
+            key, k_step = jrandom.split(key)
+            state, metrics = task.train_step(state, b, k_step)
+            step += 1
+            if step % log_every == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics["steps_per_sec"] = step / (time.time() - t0)
+                logger.log_metrics(metrics, step)
+            if step >= max_steps:
+                break
+        epoch += 1
+        val_metrics = evaluate(
+            task, state, datamodule.val_dataloader(), "valid",
+            log_audio_to=logger if cfg.get("log_audio") else None,
+            sample_rate=cfg["sample_rate"], step=step,
+        )
+        logger.log_metrics(val_metrics, step)
+        log.info("epoch %d step %d: %s", epoch, step,
+                 {k: round(v, 4) for k, v in val_metrics.items()})
+        ckpts.maybe_save_best(state, val_metrics, step)
+        ckpts.save_last(state, step)
+
+    # test with best (reference: trainer.test(ckpt_path="best"))
+    try:
+        state = ckpts.restore(state, "best")
+    except Exception:
+        log.warning("no best checkpoint; testing final state")
+    test_metrics = evaluate(task, state, datamodule.test_dataloader(), "test")
+    logger.log_metrics(test_metrics, step)
+    log.info("test: %s", {k: round(v, 4) for k, v in test_metrics.items()})
+    logger.close()
+    return state, test_metrics
+
+
+def test(cfg: dict):
+    datamodule = build_datamodule(cfg)
+    task = build_task(cfg)
+    first_batch = next(iter(datamodule.test_dataloader()))
+    x0, _ = _adapt_batch(task, first_batch)
+    state = task.init_state(jax.random.PRNGKey(cfg["seed"]), x0)
+    if cfg.get("ckpt_path"):
+        state = restore_from(cfg["ckpt_path"], state)
+    logger = CSVLogger(cfg["logs_dir"])
+    metrics = evaluate(task, state, datamodule.test_dataloader(), "test")
+    logger.log_metrics(metrics, 0)
+    log.info("test: %s", {k: round(v, 4) for k, v in metrics.items()})
+    logger.close()
+    return metrics

@@ -1,0 +1,25 @@
+"""Runtime setup: persistent compilation cache + seeding.
+
+The target environment compiles remotely (10-100+ s per jit signature);
+the persistent cache makes every signature a one-time cost across
+processes. Called by every script entry point.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+
+
+def setup(cache_dir: str | None = None):
+    cache = cache_dir or os.environ.get(
+        "REMFX_TPU_CACHE", str(Path.cwd() / ".jax_cache")
+    )
+    Path(cache).mkdir(parents=True, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the flags
+        pass

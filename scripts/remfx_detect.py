@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Single-file detect + remove (reference scripts/remfx_detect.py):
+    python scripts/remfx_detect.py +exp=remfx_detect +audio_input=in.wav \
+        +output_path=out.wav
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from remfx_tpu.utils import runtime  # noqa: E402
+
+runtime.setup()
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from remfx_tpu.chain.build import build_chain  # noqa: E402
+from remfx_tpu.config.core import parse_cli  # noqa: E402
+from remfx_tpu.data.wav import read_wav, write_wav  # noqa: E402
+from remfx_tpu.ops.resample import resample  # noqa: E402
+
+
+def main():
+    cfg = parse_cli(sys.argv[1:])
+    in_path = cfg.get("audio_input")
+    if not in_path:
+        raise SystemExit("pass +audio_input=path/to.wav")
+    out_path = cfg.get("output_path") or "output.wav"
+
+    audio, sr = read_wav(in_path)
+    if sr != cfg["sample_rate"]:
+        audio = np.asarray(resample(jnp.asarray(audio), sr, cfg["sample_rate"]))
+    audio = audio.sum(0, keepdims=True)[None]  # mono, batch 1
+    x = jnp.asarray(audio)
+
+    chain = build_chain(cfg, x)
+    batch = (x, x, jnp.zeros((1, 5)), jnp.zeros((1, 5)))
+    _, y = chain.forward(batch, verbose=True)
+    write_wav(out_path, np.asarray(y[0]), cfg["sample_rate"])
+    print(f"Saved output to {out_path}")
+
+
+if __name__ == "__main__":
+    main()

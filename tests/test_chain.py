@@ -1,0 +1,76 @@
+"""Chain inference: masked dispatch semantics + detect mode."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from remfx_tpu.chain import ChainInference, DEFAULT_ORDER
+from remfx_tpu.models import make_cnn14, make_model
+
+SR = 48000
+T = 8192
+B = 4
+
+
+def _models(key):
+    models = {}
+    for name in DEFAULT_ORDER:
+        wrapper = make_model("tcn", nblocks=3, channel_width=8, kernel_size=3,
+                             dilation_growth=2)
+        key, sub = jax.random.split(key)
+        x = jnp.zeros((B, 1, T))
+        models[name] = (wrapper, wrapper.init(sub, x))
+    return models, key
+
+
+def test_oracle_mask_selects_models(rng):
+    key = jax.random.PRNGKey(0)
+    models, key = _models(key)
+    chain = ChainInference(models, SR)
+    x = jnp.asarray(rng.standard_normal((B, 1, T)).astype(np.float32) * 0.1)
+    y = x
+    # example 0: no effects -> passthrough (cropped); example 1: all
+    labels = jnp.zeros((B, 5)).at[1].set(1.0)
+    loss, out = chain.forward((x, y, labels * 0, labels))
+    # example 0 must equal the input cropped once per stage (each model
+    # shortens by rf-1 and causal_crop drops the final sample per stage)
+    from remfx_tpu.utils.crop import causal_crop
+
+    rf = next(iter(models.values()))[0].module.compute_receptive_field()
+    expected = x
+    for _ in range(len(DEFAULT_ORDER)):
+        expected = causal_crop(expected, expected.shape[-1] - (rf - 1))
+    assert expected.shape[-1] == out.shape[-1]
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(expected[0]),
+                               atol=1e-6)
+    # example 1 must differ (models applied)
+    assert not np.allclose(np.asarray(out[1]), np.asarray(expected[1]))
+    assert np.isfinite(float(loss))
+
+
+def test_detect_mode_uses_classifier(rng):
+    key = jax.random.PRNGKey(1)
+    models, key = _models(key)
+    cls = make_cnn14(num_classes=5, sample_rate=SR, model_sample_rate=SR,
+                     n_fft=512, hop_length=256, n_mels=32)
+    x = jnp.asarray(rng.standard_normal((B, 1, T)).astype(np.float32) * 0.1)
+    cls_vars = cls.init({"params": key}, x, False)
+    chain = ChainInference(models, SR, classifier=(cls, cls_vars))
+    metrics = chain.test_step((x, x, jnp.zeros((B, 5)), jnp.zeros((B, 5))))
+    for k in ("test_loss", "test_SISDR", "test_STFT", "Input_SISDR", "Input_STFT"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_use_all_mode(rng):
+    key = jax.random.PRNGKey(2)
+    models, key = _models(key)
+    chain = ChainInference(models, SR, use_all_effect_models=True)
+    x = jnp.asarray(rng.standard_normal((B, 1, T)).astype(np.float32) * 0.1)
+    labels = jnp.zeros((B, 5))  # ignored in all mode
+    loss, out = chain.forward((x, x, labels, labels))
+    from remfx_tpu.utils.crop import causal_crop
+
+    # every example processed by all five models
+    for b in range(B):
+        assert not np.allclose(np.asarray(out[b]),
+                               np.asarray(causal_crop(x, out.shape[-1])[b]))

@@ -1,0 +1,58 @@
+"""End-to-end smoke: tiny TCN removal train + Cnn14 classifier train on a
+synthetic dynamic dataset (no downloads), through the config system,
+exactly like `python scripts/train.py +exp=... datamodule.synthetic=true`.
+"""
+
+import numpy as np
+import pytest
+
+from remfx_tpu.config.core import parse_cli
+from remfx_tpu.train.loop import fit
+
+pytestmark = pytest.mark.slow
+
+
+def _tiny_overrides():
+    return [
+        "datamodule.synthetic=true",
+        "datamodule.dataset_type=dynamic",
+        "datamodule.train_chunks=4",
+        "datamodule.val_chunks=2",
+        "datamodule.test_chunks=2",
+        "datamodule.train_batch_size=2",
+        "datamodule.test_batch_size=2",
+        "trainer.max_steps=4",
+        "trainer.max_epochs=2",
+        "chunk_size=8192",
+    ]
+
+
+def test_tcn_removal_train_smoke(tmp_path):
+    cfg = parse_cli(
+        ["+exp=distortion", "model.name=tcn",
+         "model.network.nblocks=4", "model.network.channel_width=8",
+         "model.network.kernel_size=3", "model.network.dilation_growth=2",
+         f"logs_dir={tmp_path}"] + _tiny_overrides()
+    )
+    # dynamic dataset serves train; val/test EffectDataset render to disk
+    cfg["render_root"] = str(tmp_path / "data")
+    state, metrics = fit(cfg)
+    assert "test_loss" in metrics and np.isfinite(metrics["test_loss"])
+    assert "test_SISDR" in metrics and "Input_SISDR" in metrics
+    # checkpoints + csv exist
+    assert any((tmp_path / "ckpts").rglob("best")), "best checkpoint missing"
+    csvs = list(tmp_path.rglob("metrics.csv"))
+    assert csvs and csvs[0].stat().st_size > 0
+
+
+def test_classifier_train_smoke(tmp_path):
+    cfg = parse_cli(
+        ["+exp=5-5_full_cls", f"logs_dir={tmp_path}",
+         "model.network.specaugment=true"] + _tiny_overrides()
+    )
+    cfg["render_root"] = str(tmp_path / "data")
+    # keep the chain cheap: only distortion+compressor candidates
+    cfg["effects_to_remove"] = ["distortion", "compressor"]
+    cfg["num_removed_effects"] = [0, 2]
+    state, metrics = fit(cfg)
+    assert "test_avg_acc" in metrics and np.isfinite(metrics["test_avg_acc"])
