@@ -56,16 +56,26 @@ def main():
     key, sub = jax.random.split(key)
     cls_vars = cls.init({"params": sub}, x, False)
 
-    chain = ChainInference(models, sample_rate, classifier=(cls, cls_vars))
+    dispatch = os.environ.get("REMFX_BENCH_DISPATCH", "staged")
+    chain = ChainInference(models, sample_rate, classifier=(cls, cls_vars),
+                           dispatch=dispatch)
     labels = jnp.ones((B, 5), jnp.float32)
-    fn = chain._chain_fn(chain.effect_order)
-    model_vars = {k: v for k, (_, v) in models.items()}
 
-    out = jax.block_until_ready(fn(model_vars, cls_vars, x, labels))
+    def run():
+        if dispatch == "staged":
+            out, _ = chain._run_staged(x, labels, chain.effect_order)
+        else:
+            model_vars = {k: v for k, (_, v) in models.items()}
+            out, _ = chain._chain_fn(chain.effect_order)(
+                model_vars, cls_vars, x, labels
+            )
+        return jax.block_until_ready(out)
+
+    run()  # compile
     iters = 5
     t0 = time.time()
     for _ in range(iters):
-        out = jax.block_until_ready(fn(model_vars, cls_vars, x, labels))
+        run()
     dt = (time.time() - t0) / iters
 
     audio_sec = B * T / sample_rate

@@ -55,7 +55,10 @@ class ChainInference:
         shuffle_effect_order: bool = False,
         use_all_effect_models: bool = False,
         threshold: float = 0.5,
+        dispatch: str = "single",
     ):
+        """dispatch: "single" = whole chain in one jit; "staged" = one jit
+        per stage (smaller compile units for the remote compiler)."""
         self.models = dict(models)
         self.sample_rate = sample_rate
         self.effect_order = tuple(effect_order)
@@ -63,7 +66,9 @@ class ChainInference:
         self.shuffle_effect_order = shuffle_effect_order
         self.use_all_effect_models = use_all_effect_models
         self.threshold = threshold
+        self.dispatch = dispatch
         self._jitted = {}
+        self._stage_jits = {}
 
     # ------------------------------------------------------------------
 
@@ -96,6 +101,43 @@ class ChainInference:
         self._jitted[order] = fn
         return fn
 
+    def _stage_fn(self, name: str):
+        """Jitted single-stage masked apply (staged dispatch)."""
+        if name in self._stage_jits:
+            return self._stage_jits[name]
+        wrapper, _ = self.models[name]
+        idx = ALL_EFFECTS.index(EFFECT_CLASS_NAMES[name])
+
+        def run(variables, y, labels):
+            mask = labels[:, idx] > 0.5
+            out = wrapper.sample(variables, y)
+            if out.shape[-1] < y.shape[-1]:
+                y = causal_crop(y, out.shape[-1])
+            return jnp.where(mask[:, None, None], out, y)
+
+        fn = jax.jit(run)
+        self._stage_jits[name] = fn
+        return fn
+
+    def _run_staged(self, x, labels, order):
+        if self.classifier is not None:
+            net, cls_vars = self.classifier
+            if "classifier" not in self._stage_jits:
+                self._stage_jits["classifier"] = jax.jit(
+                    lambda v, a: net.apply(v, a)
+                )
+            probs = self._stage_jits["classifier"](cls_vars, x)
+            labels = (probs > self.threshold).astype(jnp.float32)
+        if self.use_all_effect_models:
+            labels = jnp.ones_like(labels)
+        y = x
+        for name in order:
+            if name not in self.models:
+                continue
+            _, variables = self.models[name]
+            y = self._stage_fn(name)(variables, y, labels)
+        return y, labels
+
     # ------------------------------------------------------------------
 
     def forward(self, batch, order=None, verbose: bool = False):
@@ -106,9 +148,12 @@ class ChainInference:
         """
         x, y, _, wet_labels = batch
         order = tuple(order) if order is not None else self.effect_order
-        model_vars = {k: v for k, (_, v) in self.models.items()}
-        cls_vars = self.classifier[1] if self.classifier is not None else None
-        output, labels = self._chain_fn(order)(model_vars, cls_vars, x, wet_labels)
+        if self.dispatch == "staged":
+            output, labels = self._run_staged(x, wet_labels, order)
+        else:
+            model_vars = {k: v for k, (_, v) in self.models.items()}
+            cls_vars = self.classifier[1] if self.classifier is not None else None
+            output, labels = self._chain_fn(order)(model_vars, cls_vars, x, wet_labels)
         if verbose:
             present = [
                 name

@@ -7,6 +7,10 @@ Constructors are config-driven (the cfg/model/*.yaml surface).
 
 from remfx_tpu.models.cnn14 import Cnn14
 from remfx_tpu.models.tcn import TCN
+from remfx_tpu.models.dcunet import DCUNet
+from remfx_tpu.models.demucs import HDemucs
+from remfx_tpu.models.dptnet import DPTNet
+from remfx_tpu.models.umx import OpenUnmix, UMXSeparator
 from remfx_tpu.models.wrappers import ModelWrapper
 
 
@@ -59,8 +63,84 @@ def make_cnn14(
     )
 
 
+def make_umx(
+    sample_rate=48000,
+    n_fft=2048,
+    hop_length=512,
+    n_channels=1,
+    alpha=0.3,
+    **_ignored,
+) -> ModelWrapper:
+    module = UMXSeparator(n_fft=n_fft, hop_length=hop_length, nb_channels=n_channels)
+    return ModelWrapper(module, name="umx", takes_train_flag=True)
+
+
+def make_dcunet(
+    sample_rate=48000,
+    architecture="Large-DCUNet-20",
+    stft_kernel_size=512,
+    fix_length_mode="pad",
+    num_bins=1025,
+    **_ignored,
+) -> ModelWrapper:
+    module = DCUNet(
+        architecture=architecture,
+        stft_kernel_size=stft_kernel_size,
+        fix_length_mode=fix_length_mode,
+    )
+    return ModelWrapper(module, name="dcunet", takes_train_flag=True)
+
+
+def make_dptnet(
+    sample_rate=48000,
+    n_src=1,
+    in_chan=64,
+    out_chan=64,
+    chunk_size=100,
+    n_repeats=2,
+    fb_name="free",
+    kernel_size=16,
+    n_filters=64,
+    stride=8,
+    num_bins=1025,
+    **_ignored,
+) -> ModelWrapper:
+    module = DPTNet(
+        n_src=n_src,
+        in_chan=in_chan,
+        out_chan=out_chan,
+        chunk_size=chunk_size,
+        n_repeats=n_repeats,
+        kernel_size=kernel_size,
+        n_filters=n_filters,
+        stride=stride,
+    )
+    return ModelWrapper(module, name="dptnet", takes_train_flag=True)
+
+
+def make_demucs(
+    sample_rate=48000,
+    sources=("mixture",),
+    audio_channels=1,
+    nfft=4096,
+    channels=48,
+    **_ignored,
+) -> ModelWrapper:
+    module = HDemucs(
+        sources=tuple(sources),
+        audio_channels=audio_channels,
+        channels=channels,
+        nfft=nfft,
+    )
+    return ModelWrapper(module, name="demucs", takes_train_flag=True)
+
+
 MODEL_REGISTRY = {
     "tcn": make_tcn,
+    "umx": make_umx,
+    "dcunet": make_dcunet,
+    "dptnet": make_dptnet,
+    "demucs": make_demucs,
 }
 
 

@@ -1,0 +1,168 @@
+"""DCUNet — complex-valued U-Net on STFT (Large-DCUNet-20).
+
+Parity target: the reference's ``DCUNetModel`` (remfx/models.py:347-367)
+wrapping ``asteroid.models.DCUNet("Large-DCUNet-20", stft_kernel_size=512,
+fix_length_mode="pad")`` — "Phase-aware Speech Enhancement with Deep
+Complex U-Net" (Choi et al., ICLR 2019).
+
+Architecture (asteroid's Large-DCUNet-20 table): 10 encoder stages
+(channels 1→45→45→90×7→128, kernels (7,1),(1,7),(7,5),(7,5),(5,3)...,
+freq/time strides interleaving (2,2)/(2,1)) and mirrored decoders with
+complex skip concatenation; bounded complex tanh mask on the input STFT;
+iSTFT back to audio.
+
+Complex ops are carried as (re, im) channel pairs (the target TPU has no
+complex dtype): complex conv = 4 real convs; complex BN = naive per-part
+BN; activation = leaky ReLU on both parts (asteroid's default).
+
+NOTE weight-compat vs asteroid: the structural layout (stage names,
+conv kernels) is designed for 1:1 import, but asteroid's exact complex-BN
+variant could not be verified offline in this environment — converter
+validation is tracked for a follow-up round. Training from scratch in
+this framework is fully supported.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from remfx_tpu.ops.stft import istft_ri, stft_ri
+
+# (in_ch, out_ch, kernel (F,T), stride (F,T)) per encoder stage
+LARGE_DCUNET_20 = (
+    (1, 45, (7, 1), (1, 1)),
+    (45, 45, (1, 7), (1, 1)),
+    (45, 90, (7, 5), (2, 2)),
+    (90, 90, (7, 5), (2, 1)),
+    (90, 90, (5, 3), (2, 2)),
+    (90, 90, (5, 3), (2, 1)),
+    (90, 90, (5, 3), (2, 2)),
+    (90, 90, (5, 3), (2, 1)),
+    (90, 90, (5, 3), (2, 2)),
+    (90, 128, (5, 3), (2, 1)),
+)
+
+DCUNET_ARCHITECTURES = {"Large-DCUNet-20": LARGE_DCUNET_20}
+
+
+def _same_pad(kernel, stride):
+    # asteroid uses "auto" padding = (k-1)//2 per dim
+    return tuple((k - 1) // 2 for k in kernel)
+
+
+class ComplexConv(nn.Module):
+    features: int
+    kernel: tuple
+    stride: tuple = (1, 1)
+    transpose: bool = False
+
+    @nn.compact
+    def __call__(self, xr, xi):
+        pad = _same_pad(self.kernel, self.stride)
+        padding = [(p, p) for p in pad]
+        Conv = nn.ConvTranspose if self.transpose else nn.Conv
+        kw = dict(features=self.features, kernel_size=self.kernel,
+                  strides=self.stride, padding=padding)
+        conv_r = Conv(**kw, name="re")
+        conv_i = Conv(**kw, name="im")
+        yr = conv_r(xr) - conv_i(xi)
+        yi = conv_r(xi) + conv_i(xr)
+        return yr, yi
+
+
+class ComplexBNAct(nn.Module):
+    negative_slope: float = 0.01
+
+    @nn.compact
+    def __call__(self, xr, xi, train: bool):
+        xr = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn_re")(xr)
+        xi = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn_im")(xi)
+        act = lambda v: jax.nn.leaky_relu(v, self.negative_slope)
+        return act(xr), act(xi)
+
+
+class DCUNet(nn.Module):
+    architecture: str = "Large-DCUNet-20"
+    stft_kernel_size: int = 512
+    stft_stride: int | None = None
+    fix_length_mode: str = "pad"
+
+    @property
+    def stages(self):
+        return DCUNET_ARCHITECTURES[self.architecture]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: (B, T) or (B, 1, T) waveform -> (B, T) enhanced waveform."""
+        squeeze_ch = x.ndim == 3
+        if squeeze_ch:
+            x = x[:, 0, :]
+        T_in = x.shape[-1]
+        hop = self.stft_stride or self.stft_kernel_size // 2
+        n = np.arange(self.stft_kernel_size)
+        window = jnp.asarray(
+            (0.5 * (1.0 - np.cos(2.0 * np.pi * n / self.stft_kernel_size))).astype(
+                np.float32
+            )
+        )
+        re, im = stft_ri(x, self.stft_kernel_size, hop, window)  # (B, F, N)
+        F_full, N_in = re.shape[-2], re.shape[-1]
+
+        # pad so every downsampling divides cleanly (fix_length "pad" role)
+        f_stride = int(np.prod([s[3][0] for s in self.stages]))
+        t_stride = int(np.prod([s[3][1] for s in self.stages]))
+        Fp = -(-F_full // f_stride) * f_stride
+        Np = -(-N_in // t_stride) * t_stride
+        rep = jnp.pad(re, [(0, 0), (0, Fp - F_full), (0, Np - N_in)])
+        imp = jnp.pad(im, [(0, 0), (0, Fp - F_full), (0, Np - N_in)])
+
+        hr = rep[..., None]  # (B, F, N, C=1)
+        hi = imp[..., None]
+        skips = []
+        shapes = [hr.shape[1:3]]  # spatial dims entering each stage
+        for k, (cin, cout, kernel, stride) in enumerate(self.stages):
+            hr, hi = ComplexConv(cout, kernel, stride, name=f"enc{k}_conv")(hr, hi)
+            hr, hi = ComplexBNAct(name=f"enc{k}_norm")(hr, hi, train)
+            skips.append((hr, hi))
+            shapes.append(hr.shape[1:3])
+
+        def fit_to(h, target):
+            # torch/asteroid use output_padding to invert strided convs
+            # exactly; flax ConvTranspose lacks it, so snap to the known
+            # encoder spatial dims (crop or zero-pad by <= stride-1)
+            df = target[0] - h.shape[1]
+            dt = target[1] - h.shape[2]
+            if df > 0 or dt > 0:
+                h = jnp.pad(h, [(0, 0), (0, max(df, 0)), (0, max(dt, 0)), (0, 0)])
+            return h[:, : target[0], : target[1], :]
+
+        dec_stages = list(reversed(self.stages))
+        for k, (cin, cout, kernel, stride) in enumerate(dec_stages):
+            last = k == len(dec_stages) - 1
+            if k > 0:
+                sr_, si_ = skips[len(dec_stages) - 1 - k]
+                hr = jnp.concatenate([hr, sr_], axis=-1)
+                hi = jnp.concatenate([hi, si_], axis=-1)
+            out_ch = 1 if last else cin
+            hr, hi = ComplexConv(
+                out_ch, kernel, stride, transpose=True, name=f"dec{k}_conv"
+            )(hr, hi)
+            target = shapes[len(dec_stages) - 1 - k]
+            hr, hi = fit_to(hr, target), fit_to(hi, target)
+            if not last:
+                hr, hi = ComplexBNAct(name=f"dec{k}_norm")(hr, hi, train)
+
+        mr = hr[..., 0][:, :F_full, :N_in]
+        mi = hi[..., 0][:, :F_full, :N_in]
+        # bounded complex mask: tanh(|m|) * m / |m|
+        mag = jnp.sqrt(mr * mr + mi * mi + 1e-12)
+        scale = jnp.tanh(mag) / mag
+        mr, mi = mr * scale, mi * scale
+        # complex multiply with input stft
+        yr = mr * re - mi * im
+        yi = mr * im + mi * re
+        y = istft_ri(yr, yi, self.stft_kernel_size, hop, window, length=T_in)
+        return y[:, None, :] if squeeze_ch else y

@@ -12,11 +12,8 @@ holding the module + loss so tasks and the chain can stay functional.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
-
-import jax
-import jax.numpy as jnp
 
 from remfx_tpu.losses import l1_loss, multi_resolution_stft_loss
 from remfx_tpu.utils.crop import causal_crop
@@ -28,26 +25,37 @@ class ModelWrapper:
 
     module: Any
     name: str = "model"
-    # some backbones (TCN valid conv, DCUNet) shorten the output
     l1_weight: float = 100.0
+    takes_train_flag: bool = False
 
     def init(self, key, example_x):
-        return self.module.init({"params": key}, example_x)
+        rngs = {"params": key, "dropout": key}
+        if self.takes_train_flag:
+            return self.module.init(rngs, example_x, False)
+        return self.module.init(rngs, example_x)
+
+    def apply(self, variables, x, train: bool = False, rngs=None):
+        """-> (output, batch_stats_updates | None)."""
+        kwargs = {}
+        args = (x, train) if self.takes_train_flag else (x,)
+        if train and "batch_stats" in variables:
+            out, updates = self.module.apply(
+                variables, *args, rngs=rngs, mutable=["batch_stats"], **kwargs
+            )
+            return out, updates
+        return self.module.apply(variables, *args, rngs=rngs, **kwargs), None
 
     def forward(self, variables, batch, train: bool = False, rngs=None):
+        """-> (loss, output, updates)."""
         x, target = batch
-        output = self.apply(variables, x, train=train, rngs=rngs)
+        output, updates = self.apply(variables, x, train=train, rngs=rngs)
         if output.shape[-1] < target.shape[-1]:
             target = causal_crop(target, output.shape[-1])
         loss = multi_resolution_stft_loss(output, target) + self.l1_weight * l1_loss(
             output, target
         )
-        return loss, output
-
-    def apply(self, variables, x, train: bool = False, rngs=None):
-        out = self.module.apply(variables, x, rngs=rngs)
-        return out
+        return loss, output, updates
 
     def sample(self, variables, x):
         """Inference: (B, C, T) -> (B, C, T') denoised/removed audio."""
-        return self.apply(variables, x, train=False)
+        return self.apply(variables, x, train=False)[0]

@@ -113,21 +113,23 @@ class RemovalTask:
             variables = {"params": params}
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
-            loss, output = self.wrapper.forward(
+            loss, output, updates = self.wrapper.forward(
                 variables, (x, y), train=True, rngs={"dropout": key}
             )
-            return loss, output
+            return loss, (output, updates)
 
-        (loss, output), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (output, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         state = state.apply_gradients(grads=grads)
+        if updates is not None and state.batch_stats is not None:
+            state = state.replace(batch_stats=updates["batch_stats"])
         return state, self._metrics(output, x, y, loss, "train")
 
     @partial(jax.jit, static_argnums=(0, 3))
     def eval_step(self, state: TrainState, batch, prefix: str = "valid"):
         x, y = batch
-        loss, output = self.wrapper.forward(self._variables(state), (x, y))
+        loss, output, _ = self.wrapper.forward(self._variables(state), (x, y))
         return self._metrics(output, x, y, loss, prefix)
 
 

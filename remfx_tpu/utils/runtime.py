@@ -14,6 +14,12 @@ import jax
 
 
 def setup(cache_dir: str | None = None):
+    # The axon sitecustomize pins jax_platforms via jax.config at
+    # interpreter start, overriding the JAX_PLATFORMS env var. Honor an
+    # explicit REMFX_PLATFORM (e.g. "cpu" for local debugging).
+    platform = os.environ.get("REMFX_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     cache = cache_dir or os.environ.get(
         "REMFX_TPU_CACHE", str(Path.cwd() / ".jax_cache")
     )

@@ -1,0 +1,152 @@
+"""Model correctness: LSTM parity vs torch (weight-layout contract), TCN
+receptive field + conv parity, UMX separator shapes + training, Cnn14
+output contract."""
+
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+
+from remfx_tpu.models import make_model, make_cnn14
+from remfx_tpu.models.lstm import LSTM
+
+
+def test_lstm_matches_torch(rng):
+    T, B, F, H = 12, 3, 8, 6
+    x = rng.standard_normal((T, B, F)).astype(np.float32)
+    ref = torch.nn.LSTM(F, H, num_layers=2, bidirectional=True)
+    with torch.no_grad():
+        out_ref, _ = ref(torch.from_numpy(x))
+
+    model = LSTM(hidden_size=H, num_layers=2, bidirectional=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # copy torch weights in (names match 1:1)
+    params = {}
+    for name, tensor in ref.named_parameters():
+        params[name] = jnp.asarray(tensor.detach().numpy())
+    out = model.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(), atol=2e-5)
+
+
+def test_tcn_receptive_field_and_shapes(rng):
+    w = make_model("tcn", nblocks=4, channel_width=8, kernel_size=3,
+                   dilation_growth=2)
+    rf = w.module.compute_receptive_field()
+    assert rf == 3 + 2 * 2 + 2 * 4 + 2 * 8  # 31
+    x = jnp.asarray(rng.standard_normal((2, 1, 1000)).astype(np.float32))
+    variables = w.init(jax.random.PRNGKey(0), x)
+    y = w.sample(variables, x)
+    assert y.shape == (2, 1, 1000 - rf + 1)
+    assert bool(jnp.all(jnp.abs(y) <= 1.0))  # tanh output
+
+
+def test_tcn_conv_matches_torch(rng):
+    # weight-layout contract: torch Conv1d -> flax Conv via (2,1,0) transpose
+    import flax
+
+    w = make_model("tcn", nblocks=1, channel_width=4, kernel_size=3,
+                   dilation_growth=1)
+    x = rng.standard_normal((1, 1, 64)).astype(np.float32)
+    variables = w.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = flax.core.unfreeze(variables)["params"]
+
+    tconv = torch.nn.Conv1d(1, 4, 3, dilation=1)
+    tres = torch.nn.Conv1d(1, 4, 1, bias=False)
+    tprelu = torch.nn.PReLU(4)
+    tout = torch.nn.Conv1d(4, 1, 1)
+    params["block0"]["conv1"]["kernel"] = jnp.asarray(
+        tconv.weight.detach().numpy().transpose(2, 1, 0))
+    params["block0"]["conv1"]["bias"] = jnp.asarray(tconv.bias.detach().numpy())
+    params["block0"]["res"]["kernel"] = jnp.asarray(
+        tres.weight.detach().numpy().transpose(2, 1, 0))
+    params["block0"]["relu"]["weight"] = jnp.asarray(tprelu.weight.detach().numpy())
+    params["output"]["kernel"] = jnp.asarray(
+        tout.weight.detach().numpy().transpose(2, 1, 0))
+    params["output"]["bias"] = jnp.asarray(tout.bias.detach().numpy())
+
+    y = w.sample({"params": params}, jnp.asarray(x))
+    with torch.no_grad():
+        xt = torch.from_numpy(x)
+        h = tprelu(tconv(xt))
+        res = tres(xt)
+        # causal_crop drops the final sample: res[..., stop-L : stop]
+        stop = res.shape[-1] - 1
+        res = res[..., stop - h.shape[-1] : stop]
+        ref = torch.tanh(tout(h + res))
+    np.testing.assert_allclose(np.asarray(y), ref.numpy(), atol=1e-5)
+
+
+def test_umx_separator_shapes_and_train(rng):
+    w = make_model("umx", n_fft=512, hop_length=256)
+    x = jnp.asarray(rng.standard_normal((2, 1, 8192)).astype(np.float32) * 0.1)
+    variables = w.init(jax.random.PRNGKey(0), x)
+    y = w.sample(variables, x)
+    assert y.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(y)))
+    # gradient flows + batch_stats update
+    from remfx_tpu.train.tasks import RemovalTask
+
+    task = RemovalTask(w, max_steps=10)
+    state = task.init_state(jax.random.PRNGKey(1), x)
+    assert state.batch_stats is not None
+    state2, metrics = task.train_step(state, (x, x * 0.9), jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["train_loss"]))
+    # running stats changed
+    rm0 = state.batch_stats["model"]["bn1"]["running_mean"]
+    # note: state donated; compare via metrics only
+    assert state2.step == 1
+
+
+def test_cnn14_output_contract(rng):
+    net = make_cnn14(num_classes=5, sample_rate=48000, model_sample_rate=48000,
+                     n_fft=512, hop_length=256, n_mels=32)
+    x = jnp.asarray(rng.standard_normal((2, 1, 8192)).astype(np.float32))
+    variables = net.init({"params": jax.random.PRNGKey(0)}, x, False)
+    probs = net.apply(variables, x)
+    assert probs.shape == (2, 5)
+    assert bool(jnp.all((probs >= 0) & (probs <= 1)))
+
+
+def test_dcunet_shapes_and_train(rng):
+    w = make_model("dcunet", stft_kernel_size=256)
+    x = jnp.asarray(rng.standard_normal((1, 1, 16384)).astype(np.float32) * 0.1)
+    variables = w.init(jax.random.PRNGKey(0), x)
+    y = w.sample(variables, x)
+    assert y.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(y)))
+    from remfx_tpu.train.tasks import RemovalTask
+
+    task = RemovalTask(w, max_steps=10)
+    state = task.init_state(jax.random.PRNGKey(1), x)
+    state2, metrics = task.train_step(state, (x, x * 0.9), jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["train_loss"]))
+
+
+def test_dptnet_shapes_and_train(rng):
+    w = make_model("dptnet", chunk_size=20, n_repeats=1)
+    x = jnp.asarray(rng.standard_normal((1, 1, 4096)).astype(np.float32) * 0.1)
+    variables = w.init(jax.random.PRNGKey(0), x)
+    y = w.sample(variables, x)
+    assert y.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(y)))
+    from remfx_tpu.train.tasks import RemovalTask
+
+    task = RemovalTask(w, max_steps=10)
+    state = task.init_state(jax.random.PRNGKey(1), x)
+    state2, metrics = task.train_step(state, (x, x * 0.9), jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["train_loss"]))
+
+
+def test_demucs_shapes_and_train(rng):
+    w = make_model("demucs", nfft=2048, channels=4)
+    x = jnp.asarray(rng.standard_normal((1, 1, 16384)).astype(np.float32) * 0.1)
+    variables = w.init(jax.random.PRNGKey(0), x)
+    y = w.sample(variables, x)
+    assert y.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(y)))
+    from remfx_tpu.train.tasks import RemovalTask
+
+    task = RemovalTask(w, max_steps=10)
+    state = task.init_state(jax.random.PRNGKey(1), x)
+    state2, metrics = task.train_step(state, (x, x * 0.9), jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["train_loss"]))
