@@ -89,16 +89,27 @@ class EffectChainRenderer:
             name: make_effect(name, sample_rate, **overrides.get(name, {}))
             for name in set(self.effects_to_keep + self.effects_to_remove)
         }
-        # dense mode: one jitted batched (sample+render+normalize) per effect
+        # dense mode: one jitted batched (sample+render+normalize) per effect;
+        # effects with a native batch renderer (Pallas compressor) use it
         self._batched_fx = {}
         for name, eff in self._fx.items():
+            if eff.batch_render_fn is not None:
 
-            def batched(keys, xb, _eff=eff):
-                def one(k, v):
-                    out = _eff(k, v).astype(v.dtype)
-                    return self._normalize(out).astype(v.dtype)
+                def batched(keys, xb, _eff=eff):
+                    params = jax.vmap(_eff.sample_params)(keys)
+                    out = _eff.batch_render_fn(
+                        xb, params, int(self.sample_rate)
+                    ).astype(xb.dtype)
+                    return jax.vmap(self._normalize)(out).astype(xb.dtype)
 
-                return jax.vmap(one)(keys, xb)
+            else:
+
+                def batched(keys, xb, _eff=eff):
+                    def one(k, v):
+                        out = _eff(k, v).astype(v.dtype)
+                        return self._normalize(out).astype(v.dtype)
+
+                    return jax.vmap(one)(keys, xb)
 
             self._batched_fx[name] = jax.jit(batched)
         self._mrstft_each = jax.jit(

@@ -53,12 +53,17 @@ class RandomEffect:
         sampler: Callable,
         render_fn: Callable,
         ranges: dict,
+        batch_render_fn: Callable | None = None,
     ):
         self.name = name
         self.sample_rate = sample_rate
         self.sampler = sampler
         self.render_fn = render_fn
         self.ranges = dict(ranges)
+        # optional natively-batched renderer (xb (B,C,T), params (B,...))
+        # — used when vmap would under-utilize a kernel (e.g. the Pallas
+        # envelope follower wants the whole batch on the VPU lanes)
+        self.batch_render_fn = batch_render_fn
 
     def sample_params(self, key):
         return self.sampler(key, self.sample_rate, self.ranges)

@@ -97,6 +97,31 @@ def render(x, params, sample_rate):
     )
 
 
+@partial(jax.jit, static_argnames=("sample_rate",))
+def render_batch(xb, params, sample_rate):
+    """Natively-batched render via the Pallas envelope kernel (TPU) or the
+    scan (CPU). xb: (B, C, T); params: pytree of (B,) scalars."""
+    from remfx_tpu.ops.pallas_env import envelope_pallas
+
+    B, C, T = xb.shape
+    cte_at = ballistics_cte(params["attack_ms"], sample_rate)  # (B,)
+    cte_rl = ballistics_cte(params["release_ms"], sample_rate)
+    flat = jnp.abs(xb).reshape(B * C, T)
+    rep = lambda v: jnp.repeat(v, C, axis=0)
+    if jax.default_backend() == "cpu":
+        env = envelope_scan(flat, rep(cte_at), rep(cte_rl))
+    else:
+        env = envelope_pallas(flat, rep(cte_at), rep(cte_rl))
+    env = env.reshape(B, C, T)
+    gain = compressor_gain(
+        env, params["threshold_db"][:, None, None], params["ratio"][:, None, None]
+    )
+    return (gain * xb).astype(xb.dtype)
+
+
 def make(sample_rate, **overrides) -> RandomEffect:
     ranges = {**DEFAULT_RANGES, **overrides}
-    return RandomEffect("compressor", sample_rate, sample_params, render, ranges)
+    return RandomEffect(
+        "compressor", sample_rate, sample_params, render, ranges,
+        batch_render_fn=render_batch,
+    )

@@ -93,3 +93,20 @@ def test_l1(rng):
     y = rng.standard_normal((2, 100)).astype(np.float32)
     assert abs(float(l1_loss(jnp.asarray(x), jnp.asarray(y))) -
                np.abs(x - y).mean()) < 1e-6
+
+
+def test_multilabel_f1_matches_torchmetrics_formula(rng):
+    from remfx_tpu.train.metrics import multilabel_f1
+
+    probs = rng.uniform(0, 1, (32, 5)).astype(np.float32)
+    targets = (rng.uniform(0, 1, (32, 5)) > 0.5).astype(np.float32)
+    ours = np.asarray(multilabel_f1(jnp.asarray(probs), jnp.asarray(targets)))
+    # sklearn-style manual check
+    preds = probs > 0.5
+    for c in range(5):
+        tp = np.sum(preds[:, c] & (targets[:, c] > 0.5))
+        fp = np.sum(preds[:, c] & ~(targets[:, c] > 0.5))
+        fn = np.sum(~preds[:, c] & (targets[:, c] > 0.5))
+        denom = 2 * tp + fp + fn
+        ref = 2 * tp / denom if denom else 0.0
+        assert abs(ours[c] - ref) < 1e-6
