@@ -14,6 +14,7 @@ from remfx_tpu.fx import distortion as _distortion
 from remfx_tpu.fx import eq as _eq
 from remfx_tpu.fx import phaser as _phaser
 from remfx_tpu.fx import reverb as _reverb
+from remfx_tpu.fx import sox_reverb as _sox_reverb
 from remfx_tpu.fx.base import RandomEffect
 from remfx_tpu.fx.chain import RandomAudioEffectsChannel
 from remfx_tpu.fx.dynamics import (
@@ -30,6 +31,7 @@ _FACTORIES = {
     "distortion": _distortion.make,
     "compressor": _compressor.make,
     "parametric_eq": _eq.make,
+    "sox_reverb": _sox_reverb.make,
     "phaser": _phaser.make,
     "limiter": make_limiter,
     "stereo_widener": make_stereo_widener,

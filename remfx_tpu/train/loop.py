@@ -101,6 +101,8 @@ def build_task(cfg: dict):
             lr_weight_decay=m.get("lr_weight_decay", 1e-3),
             use_mixup=m.get("mixup", False),
             sample_rate=cfg["sample_rate"],
+            loss_type=m.get("loss_type", "bce"),
+            label_smoothing=m.get("label_smoothing", 0.0),
         )
     wrapper = make_model(m["name"], sample_rate=cfg["sample_rate"],
                          **m.get("network", {}))
@@ -140,11 +142,17 @@ def evaluate(task, state, loader, prefix="valid", log_audio_to=None,
         metrics = task.eval_step(state, b, prefix)
         rows.append(metrics)
         if first and log_audio_to is not None and not isinstance(task, ClassifierTask):
+            # AudioCallback parity (reference remfx/callbacks.py:45-83):
+            # log [pred, 2 s silence, input, 2 s silence, target]
             x, y = b
-            pred = task.wrapper.sample(task._variables(state), x)
-            log_audio_to.log_audio(f"{prefix}_input", np.asarray(x[0]), sample_rate, step)
-            log_audio_to.log_audio(f"{prefix}_target", np.asarray(y[0]), sample_rate, step)
-            log_audio_to.log_audio(f"{prefix}_pred", np.asarray(pred[0]), sample_rate, step)
+            pred = np.asarray(task.wrapper.sample(task._variables(state), x)[0])
+            silence = np.zeros((pred.shape[0], 2 * sample_rate), pred.dtype)
+            concat = np.concatenate(
+                [pred, silence, np.asarray(x[0])[:, : pred.shape[-1]], silence,
+                 np.asarray(y[0])[:, : pred.shape[-1]]], axis=-1
+            )
+            log_audio_to.log_audio(f"{prefix}_pred_input_target", concat,
+                                   sample_rate, step)
         first = False
     out = _mean_logs(rows)
     # expose epoch-style alias used by classifier checkpointing configs
@@ -170,7 +178,10 @@ def fit(cfg: dict):
         log.info("restored checkpoint from %s", cfg["ckpt_path"])
 
     logger = CSVLogger(cfg["logs_dir"])
-    logger.log_hyperparams(cfg)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+    logger.log_hyperparams({**cfg, "model/params/total": n_params,
+                            "model/params/trainable": n_params})
+    log.info("model parameters: %s", f"{n_params:,}")
     mc = cfg["callbacks"]["model_checkpoint"]
     ckpts = CheckpointManager(
         Path(cfg["logs_dir"]) / "ckpts" / time.strftime("%Y-%m-%d-%H-%M-%S"),
@@ -184,6 +195,9 @@ def fit(cfg: dict):
     step = 0
     epoch = 0
     t0 = time.time()
+    if cfg.get("profile"):
+        # first-class jax.profiler trace capture (SURVEY §5.1 upgrade)
+        jax.profiler.start_trace(str(Path(cfg["logs_dir"]) / "profile"))
     while step < max_steps and (max_epochs < 0 or epoch < max_epochs):
         for batch in datamodule.train_dataloader():
             b = _adapt_batch(task, batch)
@@ -207,6 +221,9 @@ def fit(cfg: dict):
                  {k: round(v, 4) for k, v in val_metrics.items()})
         ckpts.maybe_save_best(state, val_metrics, step)
         ckpts.save_last(state, step)
+
+    if cfg.get("profile"):
+        jax.profiler.stop_trace()
 
     # test with best (reference: trainer.test(ckpt_path="best"))
     try:

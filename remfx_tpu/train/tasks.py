@@ -155,7 +155,14 @@ def _bce(probs, targets, eps=1e-7):
 
 
 class ClassifierTask:
-    """FXClassifier trainer (Cnn14 path: summed per-head BCE)."""
+    """FXClassifier trainer.
+
+    ``loss_type="bce"`` = the Cnn14 path (summed per-head BCE on sigmoid
+    probs + per-effect accuracy); ``loss_type="ce"`` = the non-Cnn14 path
+    (reference quirk #9: CrossEntropyLoss against multi-hot targets with
+    optional label smoothing, metrics = multilabel F1 per class + macro;
+    remfx/models.py:457-488,550-574).
+    """
 
     def __init__(
         self,
@@ -165,10 +172,14 @@ class ClassifierTask:
         use_mixup: bool = False,
         sample_rate: int = 48000,
         effects=("Reverb", "Chorus", "Delay", "Distortion", "Compressor"),
+        loss_type: str = "bce",
+        label_smoothing: float = 0.0,
     ):
         self.network = network
         self.use_mixup = use_mixup
         self.effects = effects
+        self.loss_type = loss_type
+        self.label_smoothing = label_smoothing
         self.tx = optax.adamw(lr, weight_decay=lr_weight_decay)
 
     def init_state(self, key, example_x) -> TrainState:
@@ -192,9 +203,26 @@ class ClassifierTask:
             )
         return self.network.apply(variables, x, train, rngs=rngs)
 
-    def _loss_and_metrics(self, probs, labels, prefix):
-        loss = 0.0
+    def _loss_and_metrics(self, outputs, labels, prefix):
+        from remfx_tpu.train.metrics import multilabel_f1
+
         metrics = {}
+        if self.loss_type == "ce":
+            # torch CE with soft (multi-hot) targets + label smoothing
+            logits = outputs
+            C = logits.shape[-1]
+            t = labels * (1.0 - self.label_smoothing) + self.label_smoothing / C
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            loss = -jnp.mean(jnp.sum(t * logp, axis=-1))
+            probs = jax.nn.sigmoid(logits)
+            f1 = multilabel_f1(probs, labels)
+            for i, name in enumerate(self.effects):
+                metrics[f"{prefix}_f1_{name}"] = f1[i]
+            metrics[f"{prefix}_loss"] = loss
+            metrics[f"{prefix}_avg_acc"] = multilabel_f1(probs, labels, average="macro")
+            return loss, metrics
+        probs = outputs
+        loss = 0.0
         accs = []
         for i, name in enumerate(self.effects):
             loss = loss + _bce(probs[:, i], labels[:, i])

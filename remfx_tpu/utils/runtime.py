@@ -23,6 +23,11 @@ def setup(cache_dir: str | None = None):
     cache = cache_dir or os.environ.get(
         "REMFX_TPU_CACHE", str(Path.cwd() / ".jax_cache")
     )
+    # separate caches per backend: XLA:CPU AOT results are machine-
+    # feature specific (remote compile machine != host), mixing them
+    # risks SIGILL
+    backend = platform or os.environ.get("JAX_PLATFORMS", "device").split(",")[0]
+    cache = str(Path(cache) / backend)
     Path(cache).mkdir(parents=True, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache)

@@ -199,3 +199,42 @@ def test_volume_automation_semantics(audio):
     expected_last = audio[-1] * 10 ** (6.0 / 20.0)
     assert abs(y[0] - audio[0]) < 1e-5
     assert abs(y[-1] - expected_last) < 1e-3
+
+
+def test_sox_reverb_runs_and_decays(audio):
+    from remfx_tpu.fx import sox_reverb
+
+    eff = sox_reverb.make(SR, max_room_scale=50.0)
+    params = {
+        "reverberance": jnp.float32(60.0),
+        "high_freq_damping": jnp.float32(50.0),
+        "room_scale": jnp.float32(40.0),
+        "stereo_depth": jnp.float32(50.0),
+        "wet_dry": jnp.float32(0.5),
+        "pre_delay": jnp.float32(20.0),
+    }
+    y = np.asarray(eff.render(jnp.asarray(audio[None]), params))[0]
+    assert np.isfinite(y).all()
+    # wet_dry=0 must be identity
+    params["wet_dry"] = jnp.float32(0.0)
+    y0 = np.asarray(eff.render(jnp.asarray(audio[None]), params))[0]
+    np.testing.assert_allclose(y0, audio, atol=1e-5)
+    # reverb adds a tail: energy after an impulse-ish transient
+    imp = np.zeros_like(audio); imp[100] = 1.0
+    params["wet_dry"] = jnp.float32(1.0)
+    yi = np.asarray(eff.render(jnp.asarray(imp[None]), params))[0]
+    assert np.abs(yi[5000:20000]).max() > 1e-4
+
+
+def test_compressor_batch_render_matches_single(audio):
+    import jax as _jax
+
+    eff = comp_mod.make(SR)
+    keys = _jax.random.split(_jax.random.PRNGKey(3), 2)
+    xb = jnp.stack([jnp.asarray(audio[None]), jnp.asarray(audio[None]) * 0.5])
+    params = _jax.vmap(eff.sample_params)(keys)
+    yb = comp_mod.render_batch(xb, params, SR)
+    for b in range(2):
+        p = {k: v[b] for k, v in params.items()}
+        y1 = comp_mod.render(xb[b], p, SR)
+        np.testing.assert_allclose(np.asarray(yb[b]), np.asarray(y1), atol=1e-5)
