@@ -1,18 +1,18 @@
 #!/usr/bin/env python
 """Headline benchmark: real-time factor of the full 5-effect detect+remove
-chain on one TPU chip.
+chain on one TPU chip, using the reference's published chain composition
+(cfg/exp/remfx_detect.yaml): HDemucs for distortion+compressor removal,
+DCUNet for reverb+chorus+delay removal, Cnn14 classifier.
 
 Prints ONE JSON line:
   {"metric": "chain_rtf", "value": N, "unit": "audio-sec/sec/chip",
    "vs_baseline": N/100}
 
-Baseline (BASELINE.md): >=100x real time for the detect+remove chain per
-v5e chip. The chain = Cnn14 classifier (48k, 2048/512/128-mel) + five
-removal models applied in the reference order with per-example masks.
+Baseline (BASELINE.md): >=100x real time per v5e chip.
 
-Round-1 note: the removal backbones are paper-config TCNs (the in-repo
-reference model, remfx/tcn.py + cfg/model/tcn.yaml); DCUNet/HDemucs swap
-in as they land (their cost is same order of magnitude).
+Timing forces a scalar readback per iteration — on this backend
+``block_until_ready`` alone returns before execution completes
+(PERF_NOTES.md), so naive timings are bogus.
 """
 
 import json
@@ -26,26 +26,38 @@ os.environ.setdefault(
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def main():
     from remfx_tpu.chain.inference import DEFAULT_ORDER, ChainInference
     from remfx_tpu.models import make_cnn14, make_model
+    from remfx_tpu.utils.timing import timeit
 
     sample_rate = 48000
     T = 262144  # the eval chunk size (5.46 s)
-    B = 8
+    B = int(os.environ.get("REMFX_BENCH_BATCH", "8"))
 
     key = jax.random.PRNGKey(0)
     x = 0.1 * jax.random.normal(key, (B, 1, T), jnp.float32)
 
+    # the published chain: demucs for distortion/compressor, dcunet for
+    # reverb/chorus/delay (cfg/exp/remfx_detect.yaml:63-78)
+    backbone_for = {
+        "RandomPedalboardDistortion": "demucs",
+        "RandomPedalboardCompressor": "demucs",
+        "RandomPedalboardReverb": "dcunet",
+        "RandomPedalboardChorus": "dcunet",
+        "RandomPedalboardDelay": "dcunet",
+    }
     models = {}
     for name in DEFAULT_ORDER:
-        wrapper = make_model(
-            "tcn", nblocks=20, channel_width=256, kernel_size=7,
-            stack_size=10, dilation_growth=2, causal=False,
-        )
+        kind = backbone_for[name]
+        if kind == "demucs":
+            wrapper = make_model("demucs", sources=["mixture"], audio_channels=1,
+                                 nfft=4096, channels=48)
+        else:
+            wrapper = make_model("dcunet", architecture="Large-DCUNet-20",
+                                 stft_kernel_size=512, fix_length_mode="pad")
         key, sub = jax.random.split(key)
         variables = wrapper.init(sub, x)
         models[name] = (wrapper, variables)
@@ -56,28 +68,15 @@ def main():
     key, sub = jax.random.split(key)
     cls_vars = cls.init({"params": sub}, x, False)
 
-    dispatch = os.environ.get("REMFX_BENCH_DISPATCH", "staged")
     chain = ChainInference(models, sample_rate, classifier=(cls, cls_vars),
-                           dispatch=dispatch)
+                           dispatch="staged")
     labels = jnp.ones((B, 5), jnp.float32)
 
     def run():
-        if dispatch == "staged":
-            out, _ = chain._run_staged(x, labels, chain.effect_order)
-        else:
-            model_vars = {k: v for k, (_, v) in models.items()}
-            out, _ = chain._chain_fn(chain.effect_order)(
-                model_vars, cls_vars, x, labels
-            )
-        return jax.block_until_ready(out)
+        out, _ = chain._run_staged(x, labels, chain.effect_order)
+        return out
 
-    run()  # compile
-    iters = 5
-    t0 = time.time()
-    for _ in range(iters):
-        run()
-    dt = (time.time() - t0) / iters
-
+    dt, _ = timeit(run, iters=5, warmup=1)
     audio_sec = B * T / sample_rate
     rtf = audio_sec / dt
     print(json.dumps({
