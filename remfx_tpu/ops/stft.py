@@ -46,6 +46,25 @@ def _pad_window(window, n_fft: int):
     return jnp.pad(window, (left, n_fft - win_length - left))
 
 
+def _overlap_add(frames: jax.Array, hop: int, out_len: int) -> jax.Array:
+    """OLA of ``frames (B, N, L)`` at stride ``hop`` -> (B, out_len).
+
+    Gather/scatter/conv-free: pad L to K*hop, then each of the K
+    hop-sized columns reshapes to a contiguous strip added at offset
+    k*hop.
+    """
+    B, N, L = frames.shape
+    K = -(-L // hop)
+    if K * hop != L:
+        frames = jnp.pad(frames, [(0, 0), (0, 0), (0, K * hop - L)])
+    total = N * hop + K * hop  # enough for every shifted strip
+    y = jnp.zeros((B, total), frames.dtype)
+    for k in range(K):
+        strip = frames[:, :, k * hop : (k + 1) * hop].reshape(B, N * hop)
+        y = y + jnp.pad(strip, [(0, 0), (k * hop, total - N * hop - k * hop)])
+    return y[:, :out_len]
+
+
 def frame(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
     """Overlapping frames ``(..., n_frames, frame_length)`` via shifted
     reshapes (gather-free; see PERF_NOTES.md)."""
@@ -136,31 +155,20 @@ def istft_ri(
     inv = np.concatenate(
         [c * wgt[None, :] / n_fft, -s * wgt[None, :] / n_fft], axis=1
     ).astype(np.float32)  # (n_fft, 2nf): frame = inv @ spec_col
-    # kernel (I=1, O=2nf, n_fft) with transpose_kernel=True: output[t] =
-    # sum_n sum_c spec[c, n] * kern[0, c, t - n*hop]  == OLA of frames
-    kern = jnp.asarray(inv.T)[None, :, :] * jnp.asarray(window)[None, None, :]
-    y = jax.lax.conv_transpose(
-        spec,
-        kern,  # (1, 2nf, n_fft)
-        strides=(hop_length,),
-        padding="VALID",
-        dimension_numbers=("NCH", "IOH", "NCH"),
-        transpose_kernel=True,
-        precision=_PREC,
-    )  # (B, 1, out_len)
+    # inverse DFT + window as ONE matmul on the MXU, then overlap-add via
+    # K shifted reshapes (conv_transpose with lhs dilation is catastrophic
+    # on this backend — it computes the dense dilated conv)
+    kern = jnp.asarray(inv) * jnp.asarray(window)[:, None]  # (n_fft, 2nf)
+    frames = jnp.einsum(
+        "bcn,tc->bnt", spec, kern, precision=_PREC
+    )  # (B, n_frames, n_fft), windowed time frames
     out_len = n_fft + hop_length * (n_frames - 1)
-    y = y[:, 0, :out_len]
+    y = _overlap_add(frames, hop_length, out_len)
 
-    # NOLA window-square envelope via the same conv_transpose on ones
-    ones = jnp.ones((1, 1, n_frames), y.dtype)
-    wsq = jax.lax.conv_transpose(
-        ones,
-        (jnp.asarray(window) ** 2)[None, None, :],
-        strides=(hop_length,),
-        padding="VALID",
-        dimension_numbers=("NCH", "IOH", "NCH"),
-        transpose_kernel=True,
-    )[0, 0, :out_len]
+    wsq_frames = jnp.broadcast_to(
+        (jnp.asarray(window) ** 2)[None, None, :], (1, n_frames, n_fft)
+    )
+    wsq = _overlap_add(wsq_frames, hop_length, out_len)[0]
     y = y / jnp.where(wsq > 1e-11, wsq, 1.0)
 
     if center:
