@@ -35,7 +35,8 @@ def main():
 
     sample_rate = 48000
     T = 262144  # the eval chunk size (5.46 s)
-    B = int(os.environ.get("REMFX_BENCH_BATCH", "8"))
+    B = int(os.environ.get("REMFX_BENCH_BATCH", "16"))
+    dtype = jnp.bfloat16 if os.environ.get("REMFX_BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
     key = jax.random.PRNGKey(0)
     x = 0.1 * jax.random.normal(key, (B, 1, T), jnp.float32)
@@ -59,14 +60,21 @@ def main():
             wrapper = make_model("dcunet", architecture="Large-DCUNet-20",
                                  stft_kernel_size=512, fix_length_mode="pad")
         key, sub = jax.random.split(key)
-        variables = wrapper.init(sub, x)
+        variables = wrapper.init(sub, x[:2])
+        variables = jax.tree.map(
+            lambda a: a.astype(dtype) if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            variables)
         models[name] = (wrapper, variables)
 
     cls = make_cnn14(num_classes=5, sample_rate=sample_rate,
                      model_sample_rate=sample_rate, n_fft=2048,
                      hop_length=512, n_mels=128)
     key, sub = jax.random.split(key)
-    cls_vars = cls.init({"params": sub}, x, False)
+    cls_vars = cls.init({"params": sub}, x[:2], False)
+    cls_vars = jax.tree.map(
+        lambda a: a.astype(dtype) if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+        cls_vars)
+    x = x.astype(dtype)
 
     chain = ChainInference(models, sample_rate, classifier=(cls, cls_vars),
                            dispatch="staged")

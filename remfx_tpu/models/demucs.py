@@ -105,8 +105,19 @@ class DecLayer(nn.Module):
         if self.norm:
             g = nn.GroupNorm(num_groups=4, name="norm1")(g)
         h = nn.glu(g, axis=-1)
-        h = nn.ConvTranspose(self.out_ch, (self.kernel,), strides=(self.stride,),
-                             padding="VALID", name="convtr")(h)
+        # transposed conv via subpixel phases (lax.conv_transpose pays the
+        # full lhs-dilation cost on this backend; ops/subpixel.py is exact)
+        from remfx_tpu.ops.subpixel import subpixel_conv_transpose
+
+        kern = self.param(
+            "convtr_kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, h.shape[-1], self.out_ch),
+        )
+        kb = self.param("convtr_bias", nn.initializers.zeros, (self.out_ch,))
+        h = subpixel_conv_transpose(
+            h[:, :, None, :], kern[:, None, :, :].astype(h.dtype), (self.stride, 1)
+        )[:, :, 0, :] + kb.astype(h.dtype)
         # crop the transposed-conv overlap to the target length (demucs
         # trims kernel-stride border samples)
         border = (self.kernel - self.stride) // 2

@@ -110,7 +110,7 @@ def stft_ri(
     nf = n_fft // 2 + 1
     # windowed DFT kernels (2nf, 1, n_fft); window may be traced
     k = jnp.asarray(_basis(n_fft)) * jnp.asarray(window)[:, None]
-    k = jnp.swapaxes(k, 0, 1)[:, None, :]
+    k = jnp.swapaxes(k, 0, 1)[:, None, :].astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x.reshape((-1, 1, T)),
         k,
@@ -158,7 +158,9 @@ def istft_ri(
     # inverse DFT + window as ONE matmul on the MXU, then overlap-add via
     # K shifted reshapes (conv_transpose with lhs dilation is catastrophic
     # on this backend — it computes the dense dilated conv)
-    kern = jnp.asarray(inv) * jnp.asarray(window)[:, None]  # (n_fft, 2nf)
+    kern = (jnp.asarray(inv) * jnp.asarray(window)[:, None]).astype(
+        spec.dtype
+    )  # (n_fft, 2nf)
     frames = jnp.einsum(
         "bcn,tc->bnt", spec, kern, precision=_PREC
     )  # (B, n_frames, n_fft), windowed time frames
@@ -169,7 +171,7 @@ def istft_ri(
         (jnp.asarray(window) ** 2)[None, None, :], (1, n_frames, n_fft)
     )
     wsq = _overlap_add(wsq_frames, hop_length, out_len)[0]
-    y = y / jnp.where(wsq > 1e-11, wsq, 1.0)
+    y = y / jnp.where(wsq > 1e-11, wsq, 1.0).astype(y.dtype)
 
     if center:
         pad = n_fft // 2
