@@ -1,0 +1,371 @@
+"""Datasets + datamodule: offline-rendered, dynamic (on-the-fly), and
+paired-inference, with the reference's directory contract.
+
+TPU-native redesign of remfx/datasets.py: rendering is batched on device
+through ``EffectChainRenderer`` (augment/render.py) instead of a
+``multiprocessing.Pool(32)`` of C++ pedalboard calls — one jax.random
+key tree replaces the reference's per-worker RNG pathology
+(datasets.py:124). Disk layout and tuple order are contract-identical:
+
+    {render_root}/processed/{effects_string}/{mode}/{idx}/
+        input.wav  target.wav  dry_effects.pt  wet_effects.pt
+
+and ``__getitem__`` -> (wet/input, dry/target, dry_effects, wet_effects)
+(reference datasets.py:370-380,461-468).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from remfx_tpu import ALL_EFFECTS
+from remfx_tpu.augment.render import EffectChainRenderer
+from remfx_tpu.data.sources import ChunkSource
+from remfx_tpu.data.wav import read_wav, write_wav
+from remfx_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def _effects_string(keep, remove, num_kept, num_removed) -> str:
+    """Reference's proc-dir key (remfx/datasets.py:370-380)."""
+    return "_".join(
+        list(keep)
+        + ["_"]
+        + list(remove)
+        + ["_"]
+        + [str(x) for x in num_kept]
+        + ["_"]
+        + [str(x) for x in num_removed]
+    )
+
+
+def _save_labels(path: Path, labels: np.ndarray):
+    """Write a 5-dim multi-hot label tensor as a torch .pt so the
+    rendered tree is readable by the reference's torch.load
+    (datasets.py:449-450). Falls back to numpy if torch is absent."""
+    try:
+        import torch
+
+        torch.save(torch.from_numpy(np.array(labels, np.float32, copy=True)), path)
+    except ImportError:  # pragma: no cover - torch is baked into the image
+        np.save(str(path) + ".npy", np.asarray(labels, np.float32))
+
+
+def _load_labels(path: Path) -> np.ndarray:
+    try:
+        import torch
+
+        return np.asarray(torch.load(path, weights_only=True), np.float32)
+    except ImportError:  # pragma: no cover
+        return np.load(str(path) + ".npy").astype(np.float32)
+
+
+def _validate_effect_input(keep, remove, num_kept, num_removed,
+                           shuffle_kept, shuffle_removed):
+    """Name/range validation + Effect Summary (reference
+    datasets.py:470-519)."""
+    for effect in list(keep) + list(remove):
+        if effect not in ALL_EFFECTS:
+            raise ValueError(
+                f"Effect {effect} not found in ALL_EFFECTS. "
+                f"Please choose from {ALL_EFFECTS}"
+            )
+    for label, rng_ in (("num_kept_effects", num_kept),
+                        ("num_removed_effects", num_removed)):
+        if rng_[0] > rng_[1]:
+            raise ValueError(f"{label} must be a tuple of (min, max). Got {rng_}")
+
+    def span(rng_):
+        return str(rng_[0]) if rng_[0] == rng_[1] else f"Between {rng_[0]}-{rng_[1]}"
+
+    kept_str = "randomly" if shuffle_kept else "in order"
+    rem_str = "randomly" if shuffle_removed else "in order"
+    log.info(
+        "Effect Summary:\n"
+        "Apply kept effects: %s (%s, chosen %s) -> Dry\n"
+        "Apply remove effects: %s (%s, chosen %s) -> Wet",
+        list(keep), span(num_kept), kept_str,
+        list(remove), span(num_removed), rem_str,
+    )
+
+
+class _RenderedBase:
+    """Shared config/renderer setup for offline + dynamic datasets."""
+
+    def __init__(
+        self,
+        root=None,
+        sample_rate: int = 48000,
+        chunk_size: int = 262144,
+        total_chunks: int = 1000,
+        effects_to_keep=(),
+        effects_to_remove=(),
+        num_kept_effects=(1, 5),
+        num_removed_effects=(1, 5),
+        shuffle_kept_effects: bool = True,
+        shuffle_removed_effects: bool = False,
+        effect_overrides: dict | None = None,
+        mode: str = "train",
+        seed: int = 12345,
+        synthetic: bool = False,
+    ):
+        self.sample_rate = int(sample_rate)
+        self.chunk_size = int(chunk_size)
+        self.total_chunks = int(total_chunks)
+        self.mode = mode
+        self.seed = int(seed)
+        self.effects_to_keep = tuple(effects_to_keep or ())
+        self.effects_to_remove = tuple(effects_to_remove or ())
+        self.num_kept_effects = tuple(num_kept_effects)
+        self.num_removed_effects = tuple(num_removed_effects)
+        _validate_effect_input(
+            self.effects_to_keep, self.effects_to_remove,
+            self.num_kept_effects, self.num_removed_effects,
+            shuffle_kept_effects, shuffle_removed_effects,
+        )
+        self.effects_string = _effects_string(
+            self.effects_to_keep, self.effects_to_remove,
+            self.num_kept_effects, self.num_removed_effects,
+        )
+        overrides = effect_overrides or {}
+        self.renderer = EffectChainRenderer(
+            sample_rate=self.sample_rate,
+            effects_to_keep=self.effects_to_keep,
+            effects_to_remove=self.effects_to_remove,
+            num_kept_effects=self.num_kept_effects,
+            num_removed_effects=self.num_removed_effects,
+            shuffle_kept_effects=shuffle_kept_effects,
+            shuffle_removed_effects=shuffle_removed_effects,
+            effect_overrides={
+                k: v for k, v in overrides.items()
+                if k in self.effects_to_keep + self.effects_to_remove
+            },
+        )
+        self.source = ChunkSource(
+            root, mode, self.chunk_size, self.sample_rate, synthetic=synthetic
+        )
+        # distinct stream per (seed, mode) so train/val/test differ
+        self._mode_salt = {"train": 0, "val": 1, "test": 2}.get(mode, 3)
+
+    def _chunk_batch(self, rng: np.random.Generator, n: int) -> np.ndarray:
+        return np.stack([self.source.sample(rng) for _ in range(n)])
+
+    def _render_batch(self, key, chunks: np.ndarray):
+        import jax.numpy as jnp
+
+        dry, wet, dry_labels, wet_labels = self.renderer.render_batch(
+            key, jnp.asarray(chunks)
+        )
+        return (
+            np.asarray(wet, np.float32),
+            np.asarray(dry, np.float32),
+            np.asarray(dry_labels, np.float32),
+            np.asarray(wet_labels, np.float32),
+        )
+
+    def __len__(self):
+        return self.total_chunks
+
+
+class EffectDataset(_RenderedBase):
+    """Offline-rendered dataset (reference EffectDataset,
+    datasets.py:333-585): renders ``total_chunks`` examples to the
+    contract directory tree at construction, then serves from disk."""
+
+    def __init__(self, *, render_files: bool = True, render_root=None,
+                 render_batch_size: int = 8, **kw):
+        super().__init__(**kw)
+        if render_root is None:
+            raise ValueError("EffectDataset requires render_root")
+        self.proc_root = (
+            Path(render_root) / "processed" / self.effects_string / self.mode
+        )
+        self.render_batch_size = int(render_batch_size)
+
+        if self.proc_root.exists() and any(self.proc_root.iterdir()):
+            log.info("Found processed files at %s", self.proc_root)
+            if render_files:
+                # reference's interactive y/n guard (datasets.py:385-395);
+                # non-interactive runs must opt in via env to re-render
+                if os.environ.get("REMFX_FORCE_RERENDER") == "1":
+                    answer = "y"
+                elif sys.stdin.isatty():
+                    answer = input(
+                        "WARNING: By default, will re-render files.\n"
+                        "Set render_files=False to skip re-rendering.\n"
+                        "Are you sure you want to re-render? (y/n): "
+                    )
+                else:
+                    raise SystemExit(
+                        f"processed files exist at {self.proc_root}; set "
+                        "render_files=False to reuse them or "
+                        "REMFX_FORCE_RERENDER=1 to re-render"
+                    )
+                if answer != "y":
+                    raise SystemExit(0)
+                shutil.rmtree(self.proc_root)
+
+        if render_files:
+            self.proc_root.mkdir(parents=True, exist_ok=True)
+            self._render_to_disk()
+            log.info("Finished rendering %d chunks", self.total_chunks)
+        else:
+            self.total_chunks = len(list(self.proc_root.iterdir()))
+        log.info("Total chunks: %d", self.total_chunks)
+
+    def _render_to_disk(self):
+        rng = np.random.default_rng([self.seed, self._mode_salt])
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), self._mode_salt)
+        done = 0
+        batch_idx = 0
+        while done < self.total_chunks:
+            n = min(self.render_batch_size, self.total_chunks - done)
+            chunks = self._chunk_batch(rng, n)
+            wet, dry, dl, wl = self._render_batch(
+                jax.random.fold_in(key, batch_idx), chunks
+            )
+            for i in range(n):
+                out = self.proc_root / str(done + i)
+                out.mkdir(exist_ok=True)
+                write_wav(out / "input.wav", wet[i], self.sample_rate)
+                write_wav(out / "target.wav", dry[i], self.sample_rate)
+                _save_labels(out / "dry_effects.pt", dl[i])
+                _save_labels(out / "wet_effects.pt", wl[i])
+            done += n
+            batch_idx += 1
+            if batch_idx % 16 == 0:
+                log.info("rendered %d/%d %s chunks",
+                         done, self.total_chunks, self.mode)
+
+    def __getitem__(self, idx: int):
+        d = self.proc_root / str(idx)
+        wet, _ = read_wav(d / "input.wav")
+        dry, _ = read_wav(d / "target.wav")
+        return (
+            wet,
+            dry,
+            _load_labels(d / "dry_effects.pt"),
+            _load_labels(d / "wet_effects.pt"),
+        )
+
+
+class DynamicEffectDataset(_RenderedBase):
+    """On-the-fly rendering (reference DynamicEffectDataset,
+    datasets.py:205-330): every access renders fresh random examples —
+    no disk. Batched device rendering via ``get_batch``; ``__getitem__``
+    exists for single-example parity."""
+
+    def __init__(self, **kw):
+        kw.pop("render_files", None)
+        kw.pop("render_root", None)
+        kw.pop("render_batch_size", None)
+        super().__init__(**kw)
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = int(epoch)
+
+    def get_batch(self, indices):
+        rng = np.random.default_rng(
+            [self.seed, self._mode_salt, self._epoch, int(indices[0])]
+        )
+        chunks = self._chunk_batch(rng, len(indices))
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(self.seed), self._mode_salt),
+            self._epoch * 1_000_003 + int(indices[0]),
+        )
+        return self._render_batch(key, chunks)
+
+    def __getitem__(self, idx: int):
+        wet, dry, dl, wl = self.get_batch([idx])
+        return wet[0], dry[0], dl[0], wl[0]
+
+
+class InferenceDataset:
+    """Paired clean/effected reader (reference InferenceDataset,
+    datasets.py:588-620): resample to target rate, mono-sum, pad/trim
+    effected to clean; labels zeros (dry) / ones (wet)."""
+
+    def __init__(self, root, sample_rate: int, **_):
+        self.root = Path(root)
+        self.sample_rate = int(sample_rate)
+        self.clean_paths = sorted(self.root.glob("clean/*.wav"))
+        self.effected_paths = sorted(self.root.glob("effected/*.wav"))
+
+    def __len__(self):
+        return len(self.clean_paths)
+
+    def __getitem__(self, idx: int):
+        from remfx_tpu.ops.resample import resample
+
+        def load(path):
+            x, sr = read_wav(path)
+            if sr != self.sample_rate:
+                x = np.asarray(resample(x, sr, self.sample_rate), np.float32)
+            return x.sum(0, keepdims=True)
+
+        clean = load(self.clean_paths[idx])
+        effected = load(self.effected_paths[idx])
+        t = clean.shape[-1]
+        if effected.shape[-1] > t:
+            effected = effected[:, :t]
+        elif effected.shape[-1] < t:
+            effected = np.pad(effected, [(0, 0), (0, t - effected.shape[-1])])
+        n = len(ALL_EFFECTS)
+        return (
+            effected.astype(np.float32),
+            clean.astype(np.float32),
+            np.zeros(n, np.float32),
+            np.ones(n, np.float32),
+        )
+
+
+class EffectDatamodule:
+    """Three loaders over (train, val, test) with the reference's
+    batch-size conventions (train==val batch size, datasets.py:623-673).
+    Loaders yield ``(wet, dry, dry_labels, wet_labels)`` numpy batches;
+    datasets exposing ``get_batch`` (dynamic) render whole batches on
+    device in one shot."""
+
+    def __init__(self, train_dataset, val_dataset, test_dataset, *,
+                 train_batch_size: int, test_batch_size: int,
+                 seed: int = 12345, **_):
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.test_dataset = test_dataset
+        self.train_batch_size = int(train_batch_size)
+        self.test_batch_size = int(test_batch_size)
+        self.seed = int(seed)
+        self._epoch = 0
+
+    def _iterate(self, dataset, batch_size: int, shuffle: bool):
+        n = len(dataset)
+        order = np.arange(n)
+        if shuffle:
+            order = np.random.default_rng([self.seed, self._epoch]).permutation(n)
+        for start in range(0, n, batch_size):
+            idx = order[start : start + batch_size]
+            if hasattr(dataset, "get_batch"):
+                yield dataset.get_batch(idx)
+            else:
+                items = [dataset[int(i)] for i in idx]
+                yield tuple(np.stack(col) for col in zip(*items))
+
+    def train_dataloader(self):
+        self._epoch += 1
+        if hasattr(self.train_dataset, "set_epoch"):
+            self.train_dataset.set_epoch(self._epoch)
+        return self._iterate(self.train_dataset, self.train_batch_size, True)
+
+    def val_dataloader(self):
+        return self._iterate(self.val_dataset, self.train_batch_size, False)
+
+    def test_dataloader(self):
+        return self._iterate(self.test_dataset, self.test_batch_size, False)

@@ -144,16 +144,13 @@ class DCUNet(nn.Module):
         re, im = stft_ri(x, self.stft_kernel_size, hop, window)  # (B, F, N)
         F_full, N_in = re.shape[-2], re.shape[-1]
 
-        # pad so every downsampling divides cleanly (fix_length "pad" role)
-        f_stride = int(np.prod([s[3][0] for s in self.stages]))
-        t_stride = int(np.prod([s[3][1] for s in self.stages]))
-        Fp = -(-F_full // f_stride) * f_stride
-        Np = -(-N_in // t_stride) * t_stride
-        rep = jnp.pad(re, [(0, 0), (0, Fp - F_full), (0, Np - N_in)])
-        imp = jnp.pad(im, [(0, 0), (0, Fp - F_full), (0, Np - N_in)])
-
-        hr = rep[..., None]  # (B, F, N, C=1)
-        hi = imp[..., None]
+        # No divisibility pre-padding: strided convs with explicit (p, p)
+        # padding handle odd spatial dims exactly like torch's, and the
+        # decoder snaps each upsample back to the recorded encoder shape
+        # (fit_to below) — padding F 257->512 would double every stage's
+        # FLOPs for zeros.
+        hr = re[..., None]  # (B, F, N, C=1)
+        hi = im[..., None]
         skips = []
         shapes = [hr.shape[1:3]]  # spatial dims entering each stage
         for k, (cin, cout, kernel, stride) in enumerate(self.stages):

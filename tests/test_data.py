@@ -1,0 +1,174 @@
+"""Data-layer tests: directory contract, loaders, scanners, chunking.
+
+Covers the reference's EffectDataset/DynamicEffectDataset/
+InferenceDataset/EffectDatamodule semantics (remfx/datasets.py) without
+downloads (synthetic source).
+"""
+
+import numpy as np
+import pytest
+
+from remfx_tpu import ALL_EFFECTS
+from remfx_tpu.data import (
+    DynamicEffectDataset,
+    EffectDatamodule,
+    EffectDataset,
+    InferenceDataset,
+    locate_files,
+    select_random_chunk,
+    write_wav,
+)
+from remfx_tpu.data.wav import read_wav
+
+CHUNK = 8192
+SR = 48000
+
+
+def _common(**kw):
+    base = dict(
+        root=None,
+        synthetic=True,
+        sample_rate=SR,
+        chunk_size=CHUNK,
+        effects_to_keep=[],
+        effects_to_remove=["distortion", "compressor"],
+        num_kept_effects=(0, 0),
+        num_removed_effects=(1, 2),
+        seed=7,
+    )
+    base.update(kw)
+    return base
+
+
+def test_effect_dataset_directory_contract(tmp_path):
+    ds = EffectDataset(
+        total_chunks=3, mode="train", render_files=True,
+        render_root=tmp_path, render_batch_size=2, **_common()
+    )
+    # reference layout: processed/{effects_string}/{mode}/{idx}/...
+    # (remfx/datasets.py:370-380, README.md:181-204)
+    proc = tmp_path / "processed" / ds.effects_string / "train"
+    assert proc.is_dir()
+    for i in range(3):
+        d = proc / str(i)
+        for fname in ("input.wav", "target.wav", "dry_effects.pt",
+                      "wet_effects.pt"):
+            assert (d / fname).exists(), f"{d / fname} missing"
+        wet, sr = read_wav(d / "input.wav")
+        dry, _ = read_wav(d / "target.wav")
+        assert sr == SR and wet.shape == dry.shape == (1, CHUNK)
+    # labels are torch-loadable multi-hot over the removal candidates
+    import torch
+
+    wl = torch.load(proc / "0" / "wet_effects.pt", weights_only=True).numpy()
+    assert wl.shape == (len(ALL_EFFECTS),)
+    removable = {ALL_EFFECTS.index(n) for n in ("distortion", "compressor")}
+    assert set(np.flatnonzero(wl)) <= removable and wl.sum() >= 1
+
+    # __getitem__ order: (wet/input, dry/target, dry_labels, wet_labels)
+    wet2, dry2, dl, wl2 = ds[0]
+    np.testing.assert_allclose(wl2, wl)
+    assert wet2.shape == (1, CHUNK)
+    assert not np.allclose(wet2, dry2), "wet should differ from dry"
+
+
+def test_effect_dataset_reuse_without_render(tmp_path):
+    kw = dict(total_chunks=2, mode="val", render_root=tmp_path,
+              render_batch_size=2, **_common())
+    ds = EffectDataset(render_files=True, **kw)
+    first = ds[1]
+    # render_files=False counts existing dirs (reference datasets.py:453-454)
+    ds2 = EffectDataset(render_files=False, **kw)
+    assert len(ds2) == 2
+    second = ds2[1]
+    np.testing.assert_array_equal(first[0], second[0])
+    # re-render without consent is refused in non-interactive runs
+    with pytest.raises(SystemExit):
+        EffectDataset(render_files=True, **kw)
+
+
+def test_dynamic_dataset_deterministic_per_epoch():
+    ds = DynamicEffectDataset(total_chunks=4, mode="train", **_common())
+    a = ds.get_batch([0, 1])
+    b = ds.get_batch([0, 1])
+    np.testing.assert_array_equal(a[0], b[0])  # same epoch -> same draw
+    ds.set_epoch(1)
+    c = ds.get_batch([0, 1])
+    assert not np.allclose(a[0], c[0]), "new epoch must re-render"
+    wet, dry, dl, wl = ds[2]
+    assert wet.shape == (1, CHUNK) and wl.shape == (len(ALL_EFFECTS),)
+
+
+def test_inference_dataset_pad_trim_labels(tmp_path):
+    rng = np.random.default_rng(0)
+    (tmp_path / "clean").mkdir()
+    (tmp_path / "effected").mkdir()
+    clean = rng.standard_normal((1, 4000)).astype(np.float32) * 0.1
+    longer = rng.standard_normal((2, 5000)).astype(np.float32) * 0.1
+    write_wav(tmp_path / "clean" / "a.wav", clean, SR)
+    write_wav(tmp_path / "effected" / "a.wav", longer, SR)
+    ds = InferenceDataset(tmp_path, SR)
+    wet, dry, dl, wl = ds[0]
+    assert wet.shape == dry.shape == (1, 4000)  # mono-summed + trimmed
+    assert dl.sum() == 0 and wl.sum() == len(ALL_EFFECTS)
+
+
+def test_datamodule_batching_and_shuffle(tmp_path):
+    train = DynamicEffectDataset(total_chunks=6, mode="train", **_common())
+    val = DynamicEffectDataset(total_chunks=4, mode="val", **_common())
+    dm = EffectDatamodule(train, val, val, train_batch_size=4,
+                          test_batch_size=2, seed=3)
+    batches = list(dm.train_dataloader())
+    assert [b[0].shape[0] for b in batches] == [4, 2]  # keeps the tail
+    assert all(b[0].shape[1:] == (1, CHUNK) for b in batches)
+    test_batches = list(dm.test_dataloader())
+    assert [b[0].shape[0] for b in test_batches] == [2, 2]
+
+
+def test_locate_files_splits(tmp_path):
+    # fabricate the four starter-dataset trees (reference datasets.py:59-106)
+    v = tmp_path / "VocalSet1-2" / "data_by_singer"
+    for singer in ("male1", "male10", "male11"):
+        d = v / singer / "arpeggios" / "straight"
+        d.mkdir(parents=True)
+        (d / "x.wav").write_bytes(b"")
+    g = tmp_path / "audio_mono-mic"
+    g.mkdir()
+    for pref in ("00", "04", "05"):
+        (g / f"{pref}_Song.wav").write_bytes(b"")
+    d100 = tmp_path / "DSD100" / "DSD100" / "train" / "song"
+    d100.mkdir(parents=True)
+    (d100 / "bass.wav").write_bytes(b"")
+    idmt = tmp_path / "IDMT-SMT-DRUMS-V2" / "audio"
+    idmt.mkdir(parents=True)
+    (idmt / "WaveDrum02_x.wav").write_bytes(b"")
+    (idmt / "RealDrum01_x.wav").write_bytes(b"")
+
+    train = locate_files(tmp_path, "train")
+    assert len(train) == 4
+    assert all(len(fl) == 1 for fl in train)
+    val = locate_files(tmp_path, "val")
+    # val: male10, 04_, no dsd val dir, RealDrum01
+    assert [len(fl) for fl in val] == [1, 1, 0, 1]
+
+
+def test_select_random_chunk_energy_gate(tmp_path):
+    rng = np.random.default_rng(0)
+    silent = np.zeros((1, 4 * CHUNK), np.float32)
+    write_wav(tmp_path / "silent.wav", silent, SR)
+    assert select_random_chunk(rng, tmp_path / "silent.wav", CHUNK, SR) is None
+    loud = 0.2 * rng.standard_normal((1, 4 * CHUNK)).astype(np.float32)
+    write_wav(tmp_path / "loud.wav", loud, SR)
+    chunk = select_random_chunk(rng, tmp_path / "loud.wav", CHUNK, SR)
+    assert chunk is not None and chunk.shape == (1, CHUNK)
+    # too-short file is rejected (chunk >= file length)
+    write_wav(tmp_path / "short.wav", loud[:, : CHUNK // 2], SR)
+    assert select_random_chunk(rng, tmp_path / "short.wav", CHUNK, SR) is None
+
+
+def test_select_random_chunk_resamples(tmp_path):
+    rng = np.random.default_rng(0)
+    loud = 0.2 * rng.standard_normal((1, 8 * CHUNK)).astype(np.float32)
+    write_wav(tmp_path / "x.wav", loud, 24000)
+    chunk = select_random_chunk(rng, tmp_path / "x.wav", CHUNK, SR)
+    assert chunk is not None and chunk.shape[-1] == CHUNK
