@@ -35,7 +35,7 @@ def main():
 
     sample_rate = 48000
     T = 262144  # the eval chunk size (5.46 s)
-    B = int(os.environ.get("REMFX_BENCH_BATCH", "16"))
+    B = int(os.environ.get("REMFX_BENCH_BATCH", "32"))
     dtype = jnp.bfloat16 if os.environ.get("REMFX_BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
     key = jax.random.PRNGKey(0)

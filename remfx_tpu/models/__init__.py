@@ -124,6 +124,7 @@ def make_demucs(
     audio_channels=1,
     nfft=4096,
     channels=48,
+    depth=5,
     **_ignored,
 ) -> ModelWrapper:
     module = HDemucs(
@@ -131,6 +132,7 @@ def make_demucs(
         audio_channels=audio_channels,
         channels=channels,
         nfft=nfft,
+        depth=depth,
     )
     return ModelWrapper(module, name="demucs", takes_train_flag=True)
 

@@ -2,7 +2,14 @@ from remfx_tpu.parallel.mesh import (
     make_mesh,
     replicate,
     shard_batch,
+    shard_params_channels,
     shard_tcn_params,
 )
 
-__all__ = ["make_mesh", "replicate", "shard_batch", "shard_tcn_params"]
+__all__ = [
+    "make_mesh",
+    "replicate",
+    "shard_batch",
+    "shard_params_channels",
+    "shard_tcn_params",
+]

@@ -57,3 +57,27 @@ def shard_tcn_params(params, mesh: Mesh):
         lambda path, x: jax.device_put(x, NamedSharding(mesh, spec_for(path, x))),
         params,
     )
+
+
+def shard_params_channels(params, mesh: Mesh, min_channels: int = 16):
+    """Generic tensor-parallel placement: shard every kernel's output-
+    channel (last) axis over "tp" when it divides evenly and is wide
+    enough to be worth it; 1-D per-channel vectors (bias, norm scale,
+    layer-scale) follow. Everything else is replicated. GSPMD then
+    inserts the all-gathers/reduce-scatters — the placement is a layout
+    hint, never a semantics change, so it is safe for any architecture
+    (HDemucs GLU pairs, LSTM gate stacks, complex re/im kernel pairs)."""
+    tp = mesh.shape["tp"]
+
+    def spec_for(x):
+        if tp == 1 or not hasattr(x, "ndim"):
+            return P()
+        if x.ndim >= 2 and x.shape[-1] % tp == 0 and x.shape[-1] >= min_channels:
+            return P(*([None] * (x.ndim - 1) + ["tp"]))
+        if x.ndim == 1 and x.shape[0] % tp == 0 and x.shape[0] >= min_channels:
+            return P("tp")
+        return P()
+
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec_for(x))), params
+    )

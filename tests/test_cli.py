@@ -1,0 +1,109 @@
+"""Entry-script (L4) smoke tests: drive the real CLIs in subprocesses,
+exactly as a user would (reference scripts/remfx_detect.sh, eval.sh).
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from remfx_tpu.data.wav import read_wav, write_wav
+
+pytestmark = pytest.mark.slow
+
+REPO = Path(__file__).resolve().parents[1]
+
+TINY_TCN = (
+    "{'model': {'name': 'tcn', 'network': {'nblocks': 3, "
+    "'channel_width': 8, 'kernel_size': 3, 'dilation_growth': 2}}}"
+)
+
+
+def _run(args, timeout=900):
+    env = dict(os.environ, REMFX_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable, *args], cwd=REPO, env=env, timeout=timeout,
+        capture_output=True, text=True,
+    )
+
+
+def test_remfx_detect_cli(tmp_path):
+    rng = np.random.default_rng(0)
+    wav_in = tmp_path / "in.wav"
+    wav_out = tmp_path / "out.wav"
+    write_wav(wav_in, 0.1 * rng.standard_normal((1, 24000)).astype(np.float32),
+              48000)
+    r = _run([
+        "scripts/remfx_detect.py", "+exp=remfx_detect",
+        f"+audio_input={wav_in}", f"+output_path={wav_out}",
+        # shrink every removal model to a tiny TCN (ckpts missing ->
+        # random init, like the reference without downloads)
+        "ckpts={'RandomPedalboardDistortion': " + TINY_TCN + ", "
+        "'RandomPedalboardReverb': " + TINY_TCN + "}",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "Detected effects:" in r.stdout
+    assert wav_out.exists()
+    y, sr = read_wav(wav_out)
+    assert sr == 48000 and y.shape[0] == 1 and np.isfinite(y).all()
+
+
+def test_chain_inference_cli(tmp_path):
+    r = _run([
+        "scripts/chain_inference.py", "+exp=remfx_oracle",
+        "datamodule.synthetic=true", "datamodule.dataset_type=dynamic",
+        "datamodule.test_chunks=2", "datamodule.test_batch_size=2",
+        "chunk_size=8192",
+        "effects_to_remove=['distortion']", "num_removed_effects=[1,1]",
+        "render_files=true", f"render_root={tmp_path}/data",
+        f"logs_dir={tmp_path}",
+        "ckpts={'RandomPedalboardDistortion': " + TINY_TCN + "}",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "chain inference results" in (r.stdout + r.stderr)
+    csvs = list(Path(tmp_path).rglob("metrics.csv"))
+    assert csvs, "chain_inference must write metrics"
+
+
+def test_generate_dataset_cli(tmp_path):
+    r = _run([
+        "scripts/generate_dataset.py", "+exp=distortion",
+        "datamodule.synthetic=true",
+        "datamodule.train_chunks=2", "datamodule.val_chunks=1",
+        "datamodule.test_chunks=1", "datamodule.render_batch_size=2",
+        "chunk_size=8192", f"render_root={tmp_path}",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    rendered = list(Path(tmp_path).rglob("input.wav"))
+    assert len(rendered) == 4, f"expected 4 rendered chunks, got {len(rendered)}"
+
+
+def test_test_cli_runs_eval(tmp_path):
+    r = _run([
+        "scripts/test.py", "+exp=distortion", "model.name=tcn",
+        "model.network.nblocks=3", "model.network.channel_width=8",
+        "model.network.kernel_size=3",
+        "datamodule.synthetic=true", "datamodule.dataset_type=dynamic",
+        "datamodule.test_chunks=2", "datamodule.test_batch_size=2",
+        "chunk_size=8192", "render_files=true",
+        f"render_root={tmp_path}/data", f"logs_dir={tmp_path}",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "test_SISDR" in (r.stdout + r.stderr)
+
+
+def test_bench_script_shape():
+    # bench.py must print one JSON line with the required keys; run its
+    # printing contract without the TPU by parsing a canned line instead
+    # of executing (full run is the driver's job) — here we just assert
+    # the script exists and declares the contract.
+    src = (REPO / "bench.py").read_text()
+    for key in ('"metric"', '"value"', '"unit"', '"vs_baseline"'):
+        assert key in src
+    line = json.dumps({"metric": "chain_rtf", "value": 1.0,
+                       "unit": "audio-sec/sec/chip", "vs_baseline": 0.01})
+    assert json.loads(line)["metric"] == "chain_rtf"
