@@ -76,13 +76,22 @@ def main():
         cls_vars)
     x = x.astype(dtype)
 
+    dispatch = os.environ.get("REMFX_BENCH_DISPATCH", "staged")
     chain = ChainInference(models, sample_rate, classifier=(cls, cls_vars),
-                           dispatch="staged")
+                           dispatch=dispatch)
     labels = jnp.ones((B, 5), jnp.float32)
 
-    def run():
-        out, _ = chain._run_staged(x, labels, chain.effect_order)
-        return out
+    if dispatch == "single":
+        model_vars = {k: v for k, (_, v) in models.items()}
+        fn = chain._chain_fn(chain.effect_order)
+
+        def run():
+            out, _ = fn(model_vars, cls_vars, x, labels)
+            return out
+    else:
+        def run():
+            out, _ = chain._run_staged(x, labels, chain.effect_order)
+            return out
 
     dt, _ = timeit(run, iters=5, warmup=1)
     audio_sec = B * T / sample_rate

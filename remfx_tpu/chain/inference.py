@@ -119,17 +119,23 @@ class ChainInference:
         self._stage_jits[name] = fn
         return fn
 
-    def _run_staged(self, x, labels, order):
-        if self.classifier is not None:
-            net, cls_vars = self.classifier
-            if "classifier" not in self._stage_jits:
-                self._stage_jits["classifier"] = jax.jit(
-                    lambda v, a: net.apply(v, a)
-                )
-            probs = self._stage_jits["classifier"](cls_vars, x)
-            labels = (probs > self.threshold).astype(jnp.float32)
-        if self.use_all_effect_models:
-            labels = jnp.ones_like(labels)
+    def detect(self, x):
+        """Classifier labels for a batch: (B, 5) float {0, 1}."""
+        if self.classifier is None:
+            raise ValueError("no classifier configured")
+        net, cls_vars = self.classifier
+        if "classifier" not in self._stage_jits:
+            self._stage_jits["classifier"] = jax.jit(
+                lambda v, a: net.apply(v, a)
+            )
+        probs = self._stage_jits["classifier"](cls_vars, x)
+        return (probs > self.threshold).astype(jnp.float32)
+
+    def remove(self, x, labels, order=None):
+        """Apply the removal stages for the given labels (no classifier
+        call) — the streaming path's fixed-signature entry.
+        -> (y, labels)."""
+        order = tuple(order) if order is not None else self.effect_order
         y = x
         for name in order:
             if name not in self.models:
@@ -137,6 +143,13 @@ class ChainInference:
             _, variables = self.models[name]
             y = self._stage_fn(name)(variables, y, labels)
         return y, labels
+
+    def _run_staged(self, x, labels, order):
+        if self.classifier is not None:
+            labels = self.detect(x)
+        if self.use_all_effect_models:
+            labels = jnp.ones_like(labels)
+        return self.remove(x, labels, order)
 
     # ------------------------------------------------------------------
 

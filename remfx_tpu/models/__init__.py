@@ -81,12 +81,14 @@ def make_dcunet(
     stft_kernel_size=512,
     fix_length_mode="pad",
     num_bins=1025,
+    gauss_conv=False,
     **_ignored,
 ) -> ModelWrapper:
     module = DCUNet(
         architecture=architecture,
         stft_kernel_size=stft_kernel_size,
         fix_length_mode=fix_length_mode,
+        gauss_conv=gauss_conv,
     )
     return ModelWrapper(module, name="dcunet", takes_train_flag=True)
 

@@ -54,18 +54,40 @@ def _same_pad(kernel, stride):
 
 
 class ComplexConv(nn.Module):
-    """Complex conv as ONE stacked real conv.
+    """Complex conv, two interchangeable lowerings (same params/math):
 
-    Parameters stay as separate re/im kernels (weight-compat); the math
-    [yr; yi] = conv([xr; xi], [[wr, wi], [-wi, wr]]) runs as a single
-    (2C_in -> 2C_out) conv — same FLOPs as the 4-conv formulation but
-    one MXU dispatch (measured faster on the target backend).
+    * stacked (default): [yr; yi] = conv([xr; xi], [[wr, wi], [-wi, wr]])
+      as ONE (2C_in -> 2C_out) real conv — 4 unit-conv FLOPs, one MXU
+      dispatch.
+    * gauss: Gauss's 3-multiplication trick — t1 = conv(xr, wr),
+      t2 = conv(xi, wi), t3 = conv(xr+xi, wr+wi); yr = t1 - t2,
+      yi = t3 - t1 - t2 — 3 unit-conv FLOPs (25% fewer), 3 dispatches
+      with half-width channel dims.
+
+    Parameters stay separate re/im kernels either way (weight-compat).
     """
 
     features: int
     kernel: tuple
     stride: tuple = (1, 1)
     transpose: bool = False
+    gauss: bool = False
+
+    def _conv(self, x, k, padding):
+        if self.transpose:
+            # subpixel path: lax.conv_transpose pays the full lhs-dilation
+            # cost on this backend (ops/subpixel.py) — this is exact
+            from remfx_tpu.ops.subpixel import subpixel_conv_transpose
+
+            y = subpixel_conv_transpose(x, k, self.stride)
+            # explicit-padding semantics: trim (p, p) borders like
+            # lax.conv_transpose(padding=[(p, p)]) would
+            (ph, _), (pw, _) = padding
+            return y[:, ph : y.shape[1] - ph, pw : y.shape[2] - pw, :]
+        return jax.lax.conv_general_dilated(
+            x, k, window_strides=self.stride, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
     @nn.compact
     def __call__(self, xr, xi):
@@ -77,6 +99,14 @@ class ComplexConv(nn.Module):
         wi = self.param("im_kernel", nn.initializers.lecun_normal(), kshape)
         br = self.param("re_bias", nn.initializers.zeros, (self.features,))
         bi = self.param("im_bias", nn.initializers.zeros, (self.features,))
+        if self.gauss:
+            dt = xr.dtype
+            t1 = self._conv(xr, wr.astype(dt), padding)
+            t2 = self._conv(xi, wi.astype(dt), padding)
+            t3 = self._conv(xr + xi, (wr + wi).astype(dt), padding)
+            yr = t1 - t2 + br.astype(dt)
+            yi = t3 - t1 - t2 + bi.astype(dt)
+            return yr, yi
         x = jnp.concatenate([xr, xi], axis=-1)
         # [yr; yi]: yr = xr*wr - xi*wi ; yi = xr*wi + xi*wr
         k = jnp.concatenate(
@@ -86,21 +116,7 @@ class ComplexConv(nn.Module):
             ],
             axis=-2,
         ).astype(x.dtype)  # (kh, kw, 2cin, 2cout)
-        if self.transpose:
-            # subpixel path: lax.conv_transpose pays the full lhs-dilation
-            # cost on this backend (ops/subpixel.py) — this is exact
-            from remfx_tpu.ops.subpixel import subpixel_conv_transpose
-
-            y = subpixel_conv_transpose(x, k, self.stride)
-            # explicit-padding semantics: trim (p, p) borders like
-            # lax.conv_transpose(padding=[(p, p)]) would
-            (ph, _), (pw, _) = padding
-            y = y[:, ph : y.shape[1] - ph, pw : y.shape[2] - pw, :]
-        else:
-            y = jax.lax.conv_general_dilated(
-                x, k, window_strides=self.stride, padding=padding,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+        y = self._conv(x, k, padding)
         bias = jnp.concatenate([br, bi]).astype(y.dtype)
         y = y + bias
         return y[..., : self.features], y[..., self.features :]
@@ -122,6 +138,7 @@ class DCUNet(nn.Module):
     stft_kernel_size: int = 512
     stft_stride: int | None = None
     fix_length_mode: str = "pad"
+    gauss_conv: bool = False  # Gauss 3-mult complex convs (same math)
 
     @property
     def stages(self):
@@ -154,7 +171,8 @@ class DCUNet(nn.Module):
         skips = []
         shapes = [hr.shape[1:3]]  # spatial dims entering each stage
         for k, (cin, cout, kernel, stride) in enumerate(self.stages):
-            hr, hi = ComplexConv(cout, kernel, stride, name=f"enc{k}_conv")(hr, hi)
+            hr, hi = ComplexConv(cout, kernel, stride, gauss=self.gauss_conv,
+                                 name=f"enc{k}_conv")(hr, hi)
             hr, hi = ComplexBNAct(name=f"enc{k}_norm")(hr, hi, train)
             skips.append((hr, hi))
             shapes.append(hr.shape[1:3])
@@ -178,7 +196,8 @@ class DCUNet(nn.Module):
                 hi = jnp.concatenate([hi, si_], axis=-1)
             out_ch = 1 if last else cin
             hr, hi = ComplexConv(
-                out_ch, kernel, stride, transpose=True, name=f"dec{k}_conv"
+                out_ch, kernel, stride, transpose=True,
+                gauss=self.gauss_conv, name=f"dec{k}_conv"
             )(hr, hi)
             target = shapes[len(dec_stages) - 1 - k]
             hr, hi = fit_to(hr, target), fit_to(hi, target)

@@ -64,3 +64,76 @@ class CSVLogger:
 
     def close(self):
         self._file.close()
+
+
+class WandbLogger:
+    """W&B logger surface (reference cfg/logger/wandb.yaml +
+    callbacks.py:85-109). Uses the real ``wandb`` package when it is
+    importable and WANDB_PROJECT is set; otherwise degrades to an
+    offline JSONL event stream + wav dumps with the same interface, so
+    experiments keep their logging contract in air-gapped environments.
+    """
+
+    def __init__(self, logs_dir: str, name: str = "remfx_tpu"):
+        import os
+
+        self._csv = CSVLogger(logs_dir, name=name)  # always keep local copy
+        self.dir = self._csv.dir
+        self._events = open(self.dir / "events.jsonl", "a")
+        self._wandb = None
+        try:
+            import wandb  # optional; absent in this environment
+
+            self._wandb = wandb.init(
+                project=os.environ.get("WANDB_PROJECT", name),
+                entity=os.environ.get("WANDB_ENTITY"),
+                dir=str(self.dir),
+            )
+        except Exception:
+            self._wandb = None
+
+    def _emit(self, kind: str, payload: dict):
+        self._events.write(json.dumps({"kind": kind, **payload},
+                                      default=str) + "\n")
+        self._events.flush()
+
+    def log_hyperparams(self, cfg: dict):
+        self._csv.log_hyperparams(cfg)
+        self._emit("hparams", {"cfg": cfg})
+        if self._wandb is not None:
+            self._wandb.config.update(cfg, allow_val_change=True)
+
+    def log_metrics(self, metrics: dict, step: int):
+        self._csv.log_metrics(metrics, step)
+        self._emit("metrics", {"step": step,
+                               **{k: float(v) for k, v in metrics.items()}})
+        if self._wandb is not None:
+            self._wandb.log({k: float(v) for k, v in metrics.items()},
+                            step=step)
+
+    def log_audio(self, name: str, audio, sample_rate: int, step: int):
+        self._csv.log_audio(name, audio, sample_rate, step)
+        self._emit("audio", {"name": name, "step": step,
+                             "sample_rate": sample_rate})
+        if self._wandb is not None:
+            import wandb
+
+            self._wandb.log(
+                {name: wandb.Audio(np.asarray(audio).T,
+                                   sample_rate=sample_rate)},
+                step=step,
+            )
+
+    def close(self):
+        self._csv.close()
+        self._events.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+def make_logger(kind: str, logs_dir: str, name: str = "remfx_tpu"):
+    """cfg["logger"] dispatch: "csv" (default) or "wandb"
+    (reference cfg/logger/*.yaml surface)."""
+    if kind == "wandb":
+        return WandbLogger(logs_dir, name=name)
+    return CSVLogger(logs_dir, name=name)

@@ -23,7 +23,7 @@ from remfx_tpu.data.datasets import (
 )
 from remfx_tpu.models import make_cnn14, make_model
 from remfx_tpu.train.checkpoint import CheckpointManager, restore_from
-from remfx_tpu.train.loggers import CSVLogger
+from remfx_tpu.train.loggers import make_logger
 from remfx_tpu.train.tasks import ClassifierTask, RemovalTask
 from remfx_tpu.utils.logging import get_logger
 
@@ -177,7 +177,7 @@ def fit(cfg: dict):
         state = restore_from(cfg["ckpt_path"], state)
         log.info("restored checkpoint from %s", cfg["ckpt_path"])
 
-    logger = CSVLogger(cfg["logs_dir"])
+    logger = make_logger(cfg.get("logger", "csv"), cfg["logs_dir"])
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
     logger.log_hyperparams({**cfg, "model/params/total": n_params,
                             "model/params/trainable": n_params})
@@ -245,7 +245,7 @@ def test(cfg: dict):
     state = task.init_state(jax.random.PRNGKey(cfg["seed"]), x0)
     if cfg.get("ckpt_path"):
         state = restore_from(cfg["ckpt_path"], state)
-    logger = CSVLogger(cfg["logs_dir"])
+    logger = make_logger(cfg.get("logger", "csv"), cfg["logs_dir"])
     metrics = evaluate(task, state, datamodule.test_dataloader(), "test")
     logger.log_metrics(metrics, 0)
     log.info("test: %s", {k: round(v, 4) for k, v in metrics.items()})

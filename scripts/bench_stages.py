@@ -46,7 +46,8 @@ def main():
         bench_wrapper(
             "dcunet",
             make_model("dcunet", architecture="Large-DCUNet-20",
-                       stft_kernel_size=512, fix_length_mode="pad"),
+                       stft_kernel_size=512, fix_length_mode="pad",
+                       gauss_conv=os.environ.get("REMFX_GAUSS") == "1"),
         )
     if which in ("demucs", "all"):
         bench_wrapper(

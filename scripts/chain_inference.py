@@ -17,7 +17,7 @@ import numpy as np  # noqa: E402
 
 from remfx_tpu.chain.build import build_chain  # noqa: E402
 from remfx_tpu.config.core import parse_cli  # noqa: E402
-from remfx_tpu.train.loggers import CSVLogger  # noqa: E402
+from remfx_tpu.train.loggers import make_logger  # noqa: E402
 from remfx_tpu.train.loop import build_datamodule  # noqa: E402
 from remfx_tpu.utils.logging import get_logger  # noqa: E402
 
@@ -29,7 +29,7 @@ def main():
     datamodule = build_datamodule(cfg)
     first = next(iter(datamodule.test_dataloader()))
     chain = build_chain(cfg, first[0])
-    logger = CSVLogger(cfg["logs_dir"], name="chain_inference")
+    logger = make_logger(cfg.get("logger", "csv"), cfg["logs_dir"], name="chain_inference")
     logger.log_hyperparams(cfg)
     rows = []
     for batch in datamodule.test_dataloader():

@@ -32,13 +32,26 @@ def main():
     audio, sr = read_wav(in_path)
     if sr != cfg["sample_rate"]:
         audio = np.asarray(resample(jnp.asarray(audio), sr, cfg["sample_rate"]))
-    audio = audio.sum(0, keepdims=True)[None]  # mono, batch 1
-    x = jnp.asarray(audio)
+    audio = audio.sum(0, keepdims=True)  # mono (1, T)
 
-    chain = build_chain(cfg, x)
-    batch = (x, x, jnp.zeros((1, 5)), jnp.zeros((1, 5)))
-    _, y = chain.forward(batch, verbose=True)
-    write_wav(out_path, np.asarray(y[0]), cfg["sample_rate"])
+    # Streaming: fixed-size overlapped windows -> ONE compile signature
+    # for any file length (each distinct length would otherwise be a
+    # fresh multi-minute XLA compile; see chain/stream.py).
+    chunk = int(cfg.get("stream_chunk", cfg["chunk_size"]))
+    example = jnp.zeros((1, audio.shape[0], chunk), jnp.float32)
+    chain = build_chain(cfg, example)
+
+    from remfx_tpu.chain.stream import stream_chain
+    from remfx_tpu import ALL_EFFECTS, EFFECT_CLASS_NAMES
+
+    y, labels = stream_chain(chain, audio.astype(np.float32), chunk=chunk)
+    present = [
+        name for name in chain.effect_order
+        if labels[ALL_EFFECTS.index(EFFECT_CLASS_NAMES[name])] > 0.5
+    ]
+    print("Detected effects:", present)
+    print("Removing effects...")
+    write_wav(out_path, y[:, : audio.shape[-1]], cfg["sample_rate"])
     print(f"Saved output to {out_path}")
 
 

@@ -56,3 +56,23 @@ def test_classifier_train_smoke(tmp_path):
     cfg["num_removed_effects"] = [0, 2]
     state, metrics = fit(cfg)
     assert "test_avg_acc" in metrics and np.isfinite(metrics["test_avg_acc"])
+
+
+def test_wandb_logger_offline_fallback(tmp_path):
+    """WandbLogger degrades to JSONL + CSV when wandb is absent."""
+    import json
+
+    from remfx_tpu.train.loggers import WandbLogger, make_logger
+
+    lg = make_logger("wandb", str(tmp_path))
+    assert isinstance(lg, WandbLogger)
+    lg.log_hyperparams({"a": 1})
+    lg.log_metrics({"loss": 2.5}, step=1)
+    lg.log_audio("probe", np.zeros((1, 100), np.float32), 48000, 1)
+    lg.close()
+    events = [json.loads(l) for l in
+              (lg.dir / "events.jsonl").read_text().splitlines()]
+    kinds = [e["kind"] for e in events]
+    assert kinds == ["hparams", "metrics", "audio"]
+    assert (lg.dir / "metrics.csv").stat().st_size > 0
+    assert list((lg.dir / "audio").glob("*.wav"))
