@@ -26,6 +26,7 @@ def make_tcn(
     stack_size=10,
     dilation_growth=2,
     causal=False,
+    remat=True,
     **_ignored,
 ) -> ModelWrapper:
     module = TCN(
@@ -38,6 +39,7 @@ def make_tcn(
         stack_size=stack_size,
         dilation_growth=dilation_growth,
         causal=causal,
+        remat=remat,
     )
     return ModelWrapper(module, name="tcn")
 

@@ -84,6 +84,12 @@ class ComplexConv(nn.Module):
             # lax.conv_transpose(padding=[(p, p)]) would
             (ph, _), (pw, _) = padding
             return y[:, ph : y.shape[1] - ph, pw : y.shape[2] - pw, :]
+        if tuple(self.stride) != (1, 1):
+            # custom backward: the strided conv's data-grad would lower
+            # to the catastrophic lhs-dilated conv (PERF_NOTES #10)
+            from remfx_tpu.ops.fastconv import strided_conv2d
+
+            return strided_conv2d(x, k, tuple(self.stride), tuple(padding))
         return jax.lax.conv_general_dilated(
             x, k, window_strides=self.stride, padding=padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -77,8 +77,12 @@ class EncLayer(nn.Module):
     def __call__(self, x, train: bool = False):
         # x: (B, L, C)
         pad = self.kernel // self.stride  # small same-ish pad like demucs
-        h = nn.Conv(self.out_ch, (self.kernel,), strides=(self.stride,),
-                    padding=[(pad, pad)], name="conv")(x)
+        # FastConv1d: identical math/params to nn.Conv; custom backward
+        # avoids the lhs-dilated data-grad conv (PERF_NOTES #10)
+        from remfx_tpu.ops.fastconv import FastConv1d
+
+        h = FastConv1d(self.out_ch, self.kernel, self.stride, (pad, pad),
+                       name="conv")(x)
         if self.norm:
             h = nn.GroupNorm(num_groups=4, name="norm1")(h)
         h = nn.gelu(h)

@@ -70,11 +70,15 @@ class TCN(nn.Module):
     stack_size: int = 10
     dilation_growth: int = 10
     causal: bool = False
+    remat: bool = False  # rematerialize per block: the paper config's
+    # activations (20 blocks x (16, 262k, 256) bf16 ~ 2 GB each) exceed
+    # HBM in the backward pass; remat trades one extra forward per block
 
     @nn.compact
     def __call__(self, x):
         """x: (B, C_in, T) channel-first like the reference -> (B, C_out, T')."""
         crop_fn = causal_crop if self.causal else center_crop
+        block_cls = nn.remat(TCNBlock) if self.remat else TCNBlock
         h = jnp.swapaxes(x, -1, -2)  # (B, T, C)
         out_ch = -1
         for n in range(self.nblocks):
@@ -85,7 +89,7 @@ class TCN(nn.Module):
                 else self.channel_width
             )
             dilation = self.dilation_growth ** (n % self.stack_size)
-            h = TCNBlock(
+            h = block_cls(
                 out_ch,
                 self.kernel_size,
                 dilation,

@@ -88,6 +88,45 @@ def _basis(n_fft: int):
     return np.concatenate([c, -s], axis=1).astype(np.float32)  # (n_fft, 2nf)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _framed_dft(x2: jax.Array, k: jax.Array, hop: int) -> jax.Array:
+    """Windowed-DFT framing conv: x2 (B, 1, T), k (2nf, 1, n_fft) ->
+    (B, 2nf, n_frames) at stride ``hop``.
+
+    custom_vjp because XLA's data-gradient of a strided conv is a
+    conv with lhs_dilation=hop — catastrophic on this backend (the
+    MRSTFT loss backward measured 36.7 s/batch through it). The true
+    adjoint of framing is overlap-add, which runs as K shifted reshapes
+    (PERF_NOTES.md #5); with it the same backward is milliseconds.
+    """
+    return jax.lax.conv_general_dilated(
+        x2, k, window_strides=(hop,), padding=[(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"), precision=_PREC,
+    )
+
+
+def _framed_dft_fwd(x2, k, hop):
+    return _framed_dft(x2, k, hop), (x2, k)
+
+
+def _framed_dft_bwd(hop, res, dy):
+    x2, k = res
+    n_fft = k.shape[-1]
+    T = x2.shape[-1]
+    # dx: inverse-project each frame's cotangent then overlap-add
+    dframes = jnp.einsum("bcn,ct->bnt", dy, k[:, 0, :], precision=_PREC)
+    dx = _overlap_add(dframes, hop, T)[:, None, :]
+    if dx.shape[-1] < T:  # conv-dropped tail samples get zero gradient
+        dx = jnp.pad(dx, [(0, 0), (0, 0), (0, T - dx.shape[-1])])
+    # dk: correlate cotangent with the input frames (exact, cheap einsum)
+    xframes = frame(x2[:, 0, :], n_fft, hop)  # (B, n_frames, n_fft)
+    dk = jnp.einsum("bcn,bnt->ct", dy, xframes, precision=_PREC)[:, None, :]
+    return dx.astype(x2.dtype), dk.astype(k.dtype)
+
+
+_framed_dft.defvjp(_framed_dft_fwd, _framed_dft_bwd)
+
+
 @partial(jax.jit, static_argnames=("n_fft", "hop_length", "center", "pad_mode"))
 def stft_ri(
     x: jax.Array,
@@ -111,14 +150,7 @@ def stft_ri(
     # windowed DFT kernels (2nf, 1, n_fft); window may be traced
     k = jnp.asarray(_basis(n_fft)) * jnp.asarray(window)[:, None]
     k = jnp.swapaxes(k, 0, 1)[:, None, :].astype(x.dtype)
-    y = jax.lax.conv_general_dilated(
-        x.reshape((-1, 1, T)),
-        k,
-        window_strides=(hop_length,),
-        padding=[(0, 0)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=_PREC,
-    )  # (B, 2nf, n_frames)
+    y = _framed_dft(x.reshape((-1, 1, T)), k, hop_length)  # (B, 2nf, N)
     y = y.reshape(batch_shape + y.shape[1:])
     return y[..., :nf, :], y[..., nf:, :]
 

@@ -116,6 +116,9 @@ def build_task(cfg: dict):
         max_steps=cfg["trainer"]["max_steps"],
         gradient_clip_val=cfg["trainer"].get("gradient_clip_val", 10.0),
         sample_rate=cfg["sample_rate"],
+        accumulate_grad_batches=cfg["trainer"].get(
+            "accumulate_grad_batches", 1
+        ),
     )
 
 

@@ -71,6 +71,7 @@ class RemovalTask:
         max_steps: int = 50000,
         gradient_clip_val: float = 10.0,
         sample_rate: int = 48000,
+        accumulate_grad_batches: int = 1,
     ):
         self.wrapper = wrapper
         self.sample_rate = sample_rate
@@ -78,6 +79,12 @@ class RemovalTask:
             lr, max_steps, lr_beta1, lr_beta2, lr_eps, lr_weight_decay,
             gradient_clip_val,
         )
+        if accumulate_grad_batches > 1:
+            # trainer.accumulate_grad_batches parity (cfg/config.yaml:
+            # 116): average grads over k micro-batches per optimizer step
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=int(accumulate_grad_batches)
+            )
 
     def init_state(self, key, example_x) -> TrainState:
         variables = self.wrapper.init(key, example_x)

@@ -33,26 +33,40 @@ def main():
     y = 0.7 * x
     audio_sec = B * T / sample_rate
 
+    # paper config (cfg/model/*.yaml). TCN's 20-block activations need
+    # remat AND a smaller batch: block inputs alone are B x 262k x 256
+    # bf16 (~135 MB/block/example) — the torch reference would need
+    # ~86 GB for batch 16, so that config was never trainable as-is.
     configs = {
-        "tcn": dict(nblocks=20, channel_width=256, kernel_size=7,
-                    dilation_growth=2),
-        "demucs": dict(sources=["mixture"], audio_channels=1, nfft=4096,
-                       channels=48),
-        "dcunet": dict(architecture="Large-DCUNet-20", stft_kernel_size=512,
-                       fix_length_mode="pad"),
+        "tcn": (dict(nblocks=20, channel_width=256, kernel_size=7,
+                     dilation_growth=2, remat=True), 4),
+        "demucs": (dict(sources=["mixture"], audio_channels=1, nfft=4096,
+                        channels=48), B),
+        # dcunet fp32 skips need ~21 GB at batch 16 — run batch 8
+        # (accumulate_grad_batches=2 reproduces the effective batch)
+        "dcunet": (dict(architecture="Large-DCUNet-20", stft_kernel_size=512,
+                        fix_length_mode="pad"), min(B, 8)),
     }
     names = [which] if which != "all" else list(configs)
     for name in names:
-        task = RemovalTask(make_model(name, **configs[name]), max_steps=50000)
-        state = task.init_state(jax.random.PRNGKey(1), x[:2])
+        net_cfg, b = configs[name]
+        xb, yb = x[:b], y[:b]
+        audio_sec = b * T / sample_rate
+        task = RemovalTask(make_model(name, **net_cfg), max_steps=50000)
+        state = task.init_state(jax.random.PRNGKey(1), xb[:2])
 
-        def step(state, k):
-            return task.train_step(state, (x, y), k)
-
+        # train_step donates the state (tasks.py donate_argnums): thread
+        # the new state through or the TPU rejects the freed buffers
+        cell = {"state": state}
         k = jax.random.PRNGKey(2)
-        dt, _ = timeit(lambda: step(state, k)[1]["train_loss"],
-                       iters=3, warmup=2)
-        print(f"{name}: {dt*1000:.0f} ms/step (batch {B}) -> "
+
+        def step_once():
+            new_state, metrics = task.train_step(cell["state"], (xb, yb), k)
+            cell["state"] = new_state
+            return metrics["train_loss"]
+
+        dt, _ = timeit(step_once, iters=3, warmup=2)
+        print(f"{name}: {dt*1000:.0f} ms/step (batch {b}) -> "
               f"train RTF {audio_sec/dt:.0f}x")
 
 

@@ -8,6 +8,7 @@ import pytest
 import scipy.signal
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from remfx_tpu.data.wav import read_wav, write_wav
@@ -281,3 +282,37 @@ def test_resample_preserves_tone(rng):
     ref = np.sin(2 * np.pi * 440 * t2)
     # ignore edges (filter transient)
     assert np.max(np.abs(y[500:-500] - ref[500:-500])) < 1e-2
+
+
+def test_stft_custom_vjp_matches_autodiff():
+    """stft_ri's framing conv carries a custom VJP (overlap-add adjoint;
+    the lhs-dilated conv backward is catastrophic on the target backend,
+    PERF_NOTES #10) — its gradients must equal plain autodiff."""
+    import importlib
+
+    S = importlib.import_module("remfx_tpu.ops.stft")
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (2, 5000), jnp.float32)
+    win = S.hann_window(512)
+
+    def with_custom(a):
+        re, im = S.stft_ri(a, 512, 128, win)
+        return jnp.sum(re**2 * 1.3 + im**2 * 0.7 + re * im)
+
+    def plain_conv(a):
+        w = S._pad_window(win, 512)
+        ap = jnp.pad(a, [(0, 0), (256, 256)], mode="reflect")
+        k = jnp.asarray(S._basis(512)) * jnp.asarray(w)[:, None]
+        k = jnp.swapaxes(k, 0, 1)[:, None, :]
+        y = jax.lax.conv_general_dilated(
+            ap[:, None, :], k, (128,), [(0, 0)],
+            dimension_numbers=("NCH", "OIH", "NCH"), precision=S._PREC,
+        )
+        re, im = y[:, :257, :], y[:, 257:, :]
+        return jnp.sum(re**2 * 1.3 + im**2 * 0.7 + re * im)
+
+    v1, g1 = jax.value_and_grad(with_custom)(x)
+    v2, g2 = jax.value_and_grad(plain_conv)(x)
+    assert abs(float(v1 - v2)) < 1e-3 * abs(float(v2))
+    scale = float(jnp.max(jnp.abs(g2)))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-3 * scale)

@@ -76,3 +76,30 @@ def test_wandb_logger_offline_fallback(tmp_path):
     assert kinds == ["hparams", "metrics", "audio"]
     assert (lg.dir / "metrics.csv").stat().st_size > 0
     assert list((lg.dir / "audio").glob("*.wav"))
+
+
+def test_grad_accumulation_every_k():
+    """accumulate_grad_batches=k: params move only every k-th step
+    (optax.MultiSteps; trainer parity with cfg/config.yaml:116)."""
+    import jax
+    import jax.numpy as jnp
+
+    from remfx_tpu.models import make_model
+    from remfx_tpu.train.tasks import RemovalTask
+
+    w = make_model("tcn", nblocks=2, channel_width=8, kernel_size=3,
+                   dilation_growth=2)
+    task = RemovalTask(w, max_steps=100, accumulate_grad_batches=2)
+    x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (2, 1, 4096),
+                                jnp.float32)
+    s0 = task.init_state(jax.random.PRNGKey(1), x)
+    p0 = jax.tree.map(lambda a: a.copy(), s0.params)
+    s1, _ = task.train_step(s0, (x, 0.5 * x), jax.random.PRNGKey(2))
+    # first micro-batch: grads accumulated, params unchanged
+    same = jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.allclose(a, b)), p0, s1.params))
+    assert same, "params must not move on the first of 2 micro-batches"
+    s2, _ = task.train_step(s1, (x, 0.5 * x), jax.random.PRNGKey(3))
+    moved = not jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.allclose(a, b)), p0, s2.params))
+    assert moved, "params must update after k accumulated micro-batches"
