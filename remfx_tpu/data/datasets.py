@@ -217,7 +217,18 @@ class EffectDataset(_RenderedBase):
             self._render_to_disk()
             log.info("Finished rendering %d chunks", self.total_chunks)
         else:
-            self.total_chunks = len(list(self.proc_root.iterdir()))
+            if not self.proc_root.exists():
+                raise FileNotFoundError(
+                    f"render_files=False but no rendered dataset at "
+                    f"{self.proc_root}; run generate_dataset.py (or set "
+                    "render_files=True) first"
+                )
+            # count only numeric index dirs: stray entries (.DS_Store,
+            # partial renders) must not inflate the chunk count
+            self.total_chunks = len(
+                [d for d in self.proc_root.iterdir()
+                 if d.is_dir() and d.name.isdigit()]
+            )
         log.info("Total chunks: %d", self.total_chunks)
 
     def _render_to_disk(self):

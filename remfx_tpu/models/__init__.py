@@ -83,6 +83,7 @@ def make_dcunet(
     stft_kernel_size=512,
     fix_length_mode="pad",
     num_bins=1025,
+    norm_type="bN",
     gauss_conv=False,
     **_ignored,
 ) -> ModelWrapper:
@@ -90,6 +91,7 @@ def make_dcunet(
         architecture=architecture,
         stft_kernel_size=stft_kernel_size,
         fix_length_mode=fix_length_mode,
+        norm_type=norm_type,
         gauss_conv=gauss_conv,
     )
     return ModelWrapper(module, name="dcunet", takes_train_flag=True)
@@ -128,9 +130,12 @@ def make_demucs(
     audio_channels=1,
     nfft=4096,
     channels=48,
-    depth=5,
+    depth=6,
     **_ignored,
 ) -> ModelWrapper:
+    # torchaudio-compatible HDemucs; depth is the TOTAL encoder depth
+    # (torch default 6). The hybrid inject requires nfft to be a power
+    # of 4 (time-branch stride 4^n_freq_layers == hop nfft/4).
     module = HDemucs(
         sources=tuple(sources),
         audio_channels=audio_channels,

@@ -195,7 +195,13 @@ def fit(cfg: dict):
     max_steps = cfg["trainer"]["max_steps"]
     max_epochs = cfg["trainer"].get("max_epochs", -1)
     log_every = cfg["trainer"].get("log_every_n_steps", 1)
+    # Lightning counts OPTIMIZER steps against max_steps: with
+    # accumulate_grad_batches=k each counted step consumes k micro-batches
+    # (optax.MultiSteps applies the inner update on the k-th), keeping the
+    # LR milestone schedule (0.8/0.95 * max_steps) aligned.
+    accum = getattr(task, "accumulate_grad_batches", 1)
     step = 0
+    micro = 0
     epoch = 0
     t0 = time.time()
     if cfg.get("profile"):
@@ -206,6 +212,9 @@ def fit(cfg: dict):
             b = _adapt_batch(task, batch)
             key, k_step = jrandom.split(key)
             state, metrics = task.train_step(state, b, k_step)
+            micro += 1
+            if micro % accum:
+                continue
             step += 1
             if step % log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}

@@ -75,6 +75,10 @@ class RemovalTask:
     ):
         self.wrapper = wrapper
         self.sample_rate = sample_rate
+        # Lightning semantics: max_steps and the LR milestones count
+        # OPTIMIZER steps; the fit() loop consumes accumulate_grad_batches
+        # micro-batches per counted step (see train/loop.py).
+        self.accumulate_grad_batches = int(accumulate_grad_batches)
         self.tx = multistep_adamw(
             lr, max_steps, lr_beta1, lr_beta2, lr_eps, lr_weight_decay,
             gradient_clip_val,

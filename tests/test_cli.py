@@ -24,7 +24,15 @@ TINY_TCN = (
 
 
 def _run(args, timeout=900):
-    env = dict(os.environ, REMFX_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    # share one persistent XLA compilation cache across all CLI
+    # subprocesses so each test doesn't recompile from scratch
+    env = dict(
+        os.environ,
+        REMFX_PLATFORM="cpu",
+        JAX_PLATFORMS="cpu",
+        JAX_COMPILATION_CACHE_DIR=str(REPO / ".jax_cache_cli"),
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5",
+    )
     return subprocess.run(
         [sys.executable, *args], cwd=REPO, env=env, timeout=timeout,
         capture_output=True, text=True,

@@ -108,7 +108,8 @@ def test_cnn14_output_contract(rng):
 
 
 def test_dcunet_shapes_and_train(rng):
-    w = make_model("dcunet", stft_kernel_size=256)
+    w = make_model("dcunet", architecture="Mini-DCUNet-6",
+                   stft_kernel_size=256)
     x = jnp.asarray(rng.standard_normal((1, 1, 16384)).astype(np.float32) * 0.1)
     variables = w.init(jax.random.PRNGKey(0), x)
     y = w.sample(variables, x)
@@ -138,7 +139,9 @@ def test_dptnet_shapes_and_train(rng):
 
 
 def test_demucs_shapes_and_train(rng):
-    w = make_model("demucs", nfft=2048, channels=4)
+    # nfft 1024 -> 4 freq layers + 1 time-only layer at depth 5 (same
+    # structural shape as the published nfft-4096/depth-6 config)
+    w = make_model("demucs", nfft=1024, channels=4, depth=5)
     x = jnp.asarray(rng.standard_normal((1, 1, 16384)).astype(np.float32) * 0.1)
     variables = w.init(jax.random.PRNGKey(0), x)
     y = w.sample(variables, x)

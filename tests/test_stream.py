@@ -15,7 +15,8 @@ def _identityish_chain(key, example, length_preserving=True):
     """One tiny removal model; length-preserving (dcunet-style) or
     valid-conv shortening (tcn)."""
     if length_preserving:
-        wrapper = make_model("dcunet", stft_kernel_size=64)
+        wrapper = make_model("dcunet", architecture="Mini-DCUNet-6",
+                             stft_kernel_size=64)
     else:
         wrapper = make_model("tcn", nblocks=3, channel_width=8,
                              kernel_size=3, dilation_growth=2, causal=True)
@@ -86,3 +87,26 @@ def test_stream_shortening_model_right_aligns():
     assert y.shape == (1, T) and np.isfinite(y).all()
     # energy present except possibly the first (uncovered) samples
     assert np.abs(y[:, chunk:]).mean() > 0
+
+
+def test_stream_use_all_effect_models_overrides_detection():
+    """inference_use_all_effect_models=true must force all stages even
+    when a classifier detects nothing (ADVICE r1: stream_chain parity
+    with _run_staged, reference remfx/models.py:65-78)."""
+
+    class _NeverDetects:
+        classifier = object()  # truthy: takes the detect() path
+        use_all_effect_models = True
+
+        def detect(self, x):
+            return jnp.zeros((x.shape[0], 5), jnp.float32)
+
+        def remove(self, x, labels):
+            self.seen_labels = np.asarray(labels)
+            return x, labels
+
+    chain = _NeverDetects()
+    x = np.zeros((1, 512), np.float32)
+    y, labels = stream_chain(chain, x, chunk=512)
+    np.testing.assert_array_equal(labels, np.ones(5, np.float32))
+    np.testing.assert_array_equal(chain.seen_labels, np.ones((1, 5), np.float32))

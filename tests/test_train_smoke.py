@@ -103,3 +103,52 @@ def test_grad_accumulation_every_k():
     moved = not jax.tree.all(jax.tree.map(
         lambda a, b: bool(jnp.allclose(a, b)), p0, s2.params))
     assert moved, "params must update after k accumulated micro-batches"
+
+
+def test_accumulation_counts_optimizer_steps_and_lr_drop_fires():
+    """With accumulate_grad_batches=k, max_steps counts OPTIMIZER steps
+    (fit() consumes k micro-batches per counted step) and the MultiStepLR
+    milestones at 0.8/0.95*max_steps are actually reached — Lightning
+    parity (ADVICE r1 medium)."""
+    import jax
+    import jax.numpy as jnp
+
+    from remfx_tpu.models import make_model
+    from remfx_tpu.train.tasks import RemovalTask
+
+    w = make_model("tcn", nblocks=2, channel_width=8, kernel_size=3,
+                   dilation_growth=2)
+    max_steps, k = 6, 2
+    task = RemovalTask(w, lr=1e-2, max_steps=max_steps,
+                       accumulate_grad_batches=k)
+    assert task.accumulate_grad_batches == k
+    x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (2, 1, 4096),
+                                jnp.float32)
+    state = task.init_state(jax.random.PRNGKey(1), x)
+    key = jax.random.PRNGKey(2)
+
+    def flat(p):
+        return jnp.concatenate([a.ravel() for a in jax.tree.leaves(p)])
+
+    # fit()-style loop: step advances every k micro-batches
+    deltas = {}
+    step = micro = 0
+    while step < max_steps:
+        prev = flat(state.params)
+        key, sk = jax.random.split(key)
+        state, _ = task.train_step(state, (x, 0.5 * x), sk)
+        micro += 1
+        if micro % k:
+            continue
+        step += 1
+        deltas[step] = float(jnp.linalg.norm(flat(state.params) - prev))
+
+    assert micro == max_steps * k
+    # inner (optimizer) update count drives the schedule
+    assert int(state.opt_state.gradient_step) == max_steps
+    # milestones int(0.8*6)=4, int(0.95*6)=5 → by opt step 6 the schedule
+    # count (5) has crossed both drops: update magnitude ~1000x smaller.
+    # Adam's unit-scaled updates make ||delta|| track the LR closely.
+    assert deltas[6] < 0.1 * deltas[2], (
+        f"LR drop never fired: {deltas}"
+    )
