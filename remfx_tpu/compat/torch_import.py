@@ -536,10 +536,92 @@ def export_dcunet(variables: dict) -> dict:
     return sd
 
 
+# ------------------------------------------------------------------ dptnet
+#
+# asteroid.models.dptnet.DPTNet (reference remfx/models.py:327-344).
+# All torch layouts are kept verbatim in the flax params (UMX-style), so
+# conversion is a pure re-rooting. See compat/MAPPING.md.
+
+_DPT_SIMPLE = {
+    "encoder.filterbank._filters": "encoder_filters",
+    "decoder.filterbank._filters": "decoder_filters",
+    "masker.first_out.0.weight": "first_out_prelu",
+    "masker.first_out.1.weight": "first_out_weight",
+    "masker.first_out.1.bias": "first_out_bias",
+    "masker.net_out.0.weight": "net_out_weight",
+    "masker.net_out.0.bias": "net_out_bias",
+    "masker.net_gate.0.weight": "net_gate_weight",
+    "masker.net_gate.0.bias": "net_gate_bias",
+}
+
+
+def convert_dptnet(sd: dict) -> dict:
+    """asteroid DPTNet state dict -> {'params': ...} (models/dptnet.py)."""
+    params: dict = {}
+    for k, v in sd.items():
+        if k in _DPT_SIMPLE:
+            _set(params, [_DPT_SIMPLE[k]], v)
+            continue
+        parts = k.split(".")
+        if parts[:2] == ["masker", "in_norm"]:
+            _set(params, ["in_norm", parts[2]], v)
+        elif parts[:2] == ["masker", "layers"]:
+            r, which = parts[2], "intra" if parts[3] == "0" else "inter"
+            lname = f"layers_{r}_{which}"
+            sub = parts[4]
+            if sub == "mha":
+                if parts[5] == "out_proj":
+                    _set(params, [lname, "mha", f"out_proj_{parts[6]}"], v)
+                else:
+                    _set(params, [lname, "mha", parts[5]], v)
+            elif sub == "recurrent":
+                _set(params, [lname, "recurrent", parts[5]], v)
+            elif sub == "linear":
+                _set(params, [lname, f"linear_{parts[5]}"], v)
+            elif sub in ("norm_mha", "norm_ff"):
+                _set(params, [lname, sub, parts[5]], v)
+    return {"params": params}
+
+
+def export_dptnet(variables: dict) -> dict:
+    """Inverse of convert_dptnet."""
+    sd: dict = {}
+    params = variables["params"]
+    inv = {v: k for k, v in _DPT_SIMPLE.items()}
+    for name, tree in params.items():
+        if name in inv:
+            sd[inv[name]] = np.asarray(tree)
+        elif name == "in_norm":
+            for p, v in tree.items():
+                sd[f"masker.in_norm.{p}"] = np.asarray(v)
+        elif name.startswith("layers_"):
+            _, r, which = name.split("_")
+            j = "0" if which == "intra" else "1"
+            base = f"masker.layers.{r}.{j}"
+            for sub, leafs in tree.items():
+                if sub == "mha":
+                    for p, v in leafs.items():
+                        if p.startswith("out_proj_"):
+                            sd[f"{base}.mha.out_proj.{p[9:]}"] = np.asarray(v)
+                        else:
+                            sd[f"{base}.mha.{p}"] = np.asarray(v)
+                elif sub == "recurrent":
+                    for p, v in leafs.items():
+                        sd[f"{base}.recurrent.{p}"] = np.asarray(v)
+                elif sub in ("norm_mha", "norm_ff"):
+                    for p, v in leafs.items():
+                        sd[f"{base}.{sub}.{p}"] = np.asarray(v)
+            for p in ("linear_weight", "linear_bias"):
+                if p in tree:
+                    sd[f"{base}.linear.{p[7:]}"] = np.asarray(tree[p])
+    return sd
+
+
 CONVERTERS = {
     "tcn": convert_tcn,
     "cnn14": convert_cnn14,
     "umx": convert_umx,
     "demucs": convert_demucs,
     "dcunet": convert_dcunet,
+    "dptnet": convert_dptnet,
 }
