@@ -144,6 +144,18 @@ def parse_cli(argv: list[str]) -> dict:
 
         cfg = apply_experiment(cfg, exp_name)
     for k, v in overrides:
+        if k == "model" and isinstance(v, str):
+            # Hydra group override `model=NAME`: swap in the named model
+            # config (cfg/model/NAME.yaml equivalent)
+            from remfx_tpu.config.experiments import MODEL_CONFIGS
+
+            if v not in MODEL_CONFIGS:
+                raise SystemExit(
+                    f"unknown model config {v!r}; "
+                    f"known: {sorted(MODEL_CONFIGS)}"
+                )
+            set_by_path(cfg, k, copy.deepcopy(MODEL_CONFIGS[v]))
+            continue
         set_by_path(cfg, k, v)
     return cfg
 

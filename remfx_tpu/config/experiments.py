@@ -67,6 +67,17 @@ def _cls_panns(model_sr=48000, n_fft=2048, hop=512, n_mels=128,
     }
 
 
+def _cls_embedding(kind: str):
+    # frozen embedder + trainable MLP head; non-Cnn14 classifiers use the
+    # CE-loss / multilabel-F1 path (reference quirk #9, models.py:457-488)
+    return {
+        "task": "classifier", "name": "embedding",
+        "lr": 3e-4, "lr_weight_decay": 1e-3,
+        "loss_type": "ce",
+        "network": {"kind": kind},
+    }
+
+
 MODEL_CONFIGS.update({
     "cls_panns_16k": _cls_panns(model_sr=16000),
     "cls_panns_44k_label_smoothing": _cls_panns(model_sr=44100, label_smoothing=0.1),
@@ -76,14 +87,15 @@ MODEL_CONFIGS.update({
     "cls_panns_48k_specaugment": _cls_panns(specaugment=True),
     "cls_panns_48k_specaugment_label_smoothing": _cls_panns(
         specaugment=True, label_smoothing=0.1),
-    # frozen-embedding classifier variants of the reference
-    # (classifier.py:16-128) depend on external HEAR checkpoints the
-    # reference downloads; represented as Cnn14-free configs pending
-    # embedding-model ports.
-    "cls_panns_pt": _cls_panns(model_sr=32000),
-    "cls_vggish": _cls_panns(model_sr=16000),
-    "cls_wav2clip": _cls_panns(model_sr=16000),
-    "cls_wav2vec2": _cls_panns(model_sr=16000),
+    # frozen-embedding classifiers (reference remfx/classifier.py:16-128):
+    # `cls_panns_pt` is self-contained (the in-repo Cnn14 trunk @32 kHz IS
+    # the PANNs embedder); the other three need external HEAR checkpoints
+    # and fail loudly at build time (models/embedding_classifiers.py)
+    # instead of silently aliasing a different network.
+    "cls_panns_pt": _cls_embedding("panns"),
+    "cls_vggish": _cls_embedding("vggish"),
+    "cls_wav2clip": _cls_embedding("wav2clip"),
+    "cls_wav2vec2": _cls_embedding("wav2vec2"),
 })
 
 

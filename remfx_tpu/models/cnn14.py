@@ -84,6 +84,14 @@ class Cnn14(nn.Module):
 
     def __call__(self, x, train: bool = False):
         """x: (B, 1, T) or (B, T) -> (B, num_classes) sigmoid probs."""
+        h = self.embed(x, train)
+        outs = [jax.nn.sigmoid(head(h)) for head in self.heads]
+        return jnp.concatenate(outs, axis=-1)  # (B, num_classes)
+
+    def embed(self, x, train: bool = False):
+        """PANNs scene embedding: the 2048-d post-fc1 ReLU features (the
+        trunk the reference's frozen `PANNs` HEAR classifier consumes,
+        remfx/classifier.py:16-38)."""
         if x.ndim == 3:
             x = x[:, 0, :]
         if self.sample_rate != self.model_sample_rate:
@@ -130,5 +138,4 @@ class Cnn14(nn.Module):
         h = jnp.max(h, axis=1) + jnp.mean(h, axis=1)  # (B, C)
         h = drop(h, 0.5, 6)
         h = nn.relu(self.fc1(h))
-        outs = [jax.nn.sigmoid(head(h)) for head in self.heads]
-        return jnp.concatenate(outs, axis=-1)  # (B, num_classes)
+        return h

@@ -68,19 +68,50 @@ class EmbeddingClassifier(nn.Module):
         return ProjHead(self.num_classes, self.hidden_dim, name="proj")(emb)
 
 
+def make_panns_embed_fn(variables=None, seed: int = 0) -> Callable:
+    """Frozen PANNs embedding = the in-repo Cnn14 trunk at 32 kHz (the
+    reference's `panns_hear` scene embedder IS CNN14; remfx/
+    classifier.py:16-38). ``variables``: a converted PANNs checkpoint
+    (compat.convert_cnn14); without one, a fixed-seed random trunk is
+    baked in — the head still trains end-to-end, but embeddings are
+    untrained (documented in PARITY.md)."""
+    import jax.random as jrandom
+
+    from remfx_tpu.models.cnn14 import Cnn14
+
+    net = Cnn14(num_classes=5, sample_rate=32000, model_sample_rate=32000)
+    if variables is None:
+        k = jrandom.PRNGKey(seed)
+        variables = net.init(
+            {"params": k, "dropout": k, "specaugment": k},
+            jnp.zeros((1, 32000), jnp.float32), False,
+        )
+
+    def embed_fn(x):  # x already resampled to 32 kHz
+        return net.apply(variables, x, False, method=Cnn14.embed)
+
+    return embed_fn
+
+
 def make_embedding_classifier(
     kind: str,
     num_classes: int,
     sample_rate: float,
     embed_fn: Callable | None = None,
+    embed_variables=None,
     hidden_dim: int = 256,
 ):
     """Build a PANNs/Wav2CLIP/VGGish/wav2vec2-style classifier.
 
-    Without external embedding weights, pass ``embed_fn`` explicitly;
-    otherwise this raises with instructions (parity with the reference's
-    external-checkpoint requirement).
+    ``panns`` is self-contained: the Cnn14 trunk at 32 kHz serves as the
+    frozen embedder (optionally with converted PANNs weights via
+    ``embed_variables``). The other three require external HEAR
+    checkpoints the reference downloads — without network access they
+    raise with instructions rather than silently substituting a
+    different network.
     """
+    if embed_fn is None and kind == "panns":
+        embed_fn = make_panns_embed_fn(embed_variables)
     if embed_fn is None:
         raise RuntimeError(
             f"The {kind} classifier needs frozen embedding weights "

@@ -90,11 +90,22 @@ def build_task(cfg: dict):
     if m is None:
         raise SystemExit("no model configured; pass +exp=NAME or model=...")
     if m["task"] == "classifier":
-        net = make_cnn14(
-            num_classes=cfg["num_classes"],
-            sample_rate=cfg["sample_rate"],
-            **m.get("network", {}),
-        )
+        if m.get("name") == "embedding":
+            from remfx_tpu.models.embedding_classifiers import (
+                make_embedding_classifier,
+            )
+
+            net = make_embedding_classifier(
+                m["network"]["kind"],
+                num_classes=cfg["num_classes"],
+                sample_rate=cfg["sample_rate"],
+            )
+        else:
+            net = make_cnn14(
+                num_classes=cfg["num_classes"],
+                sample_rate=cfg["sample_rate"],
+                **m.get("network", {}),
+            )
         return ClassifierTask(
             net,
             lr=m.get("lr", 3e-4),
@@ -129,6 +140,48 @@ def _adapt_batch(task, batch):
     return wet, dry
 
 
+def build_mesh(cfg: dict):
+    """trainer.devices > 1 -> a dp x tp Mesh (SURVEY §2.10 upgrade: the
+    reference parses trainer.devices but is single-device only). Returns
+    None for the single-device path."""
+    devices = int(cfg["trainer"].get("devices", 1) or 1)
+    tp = int(cfg["trainer"].get("tensor_parallel", 1) or 1)
+    if devices <= 1:
+        return None
+    from remfx_tpu.parallel import make_mesh
+
+    return make_mesh(dp=devices // tp, tp=tp)
+
+
+def _shard_state(state, mesh):
+    from remfx_tpu.parallel import replicate, shard_params_channels
+
+    state = replicate(state, mesh)
+    if mesh.shape["tp"] > 1:
+        state = state.replace(
+            params=shard_params_channels(state.params, mesh)
+        )
+    return state
+
+
+def _shard(batch, mesh, strict=True):
+    if mesh is None:
+        return batch
+    from remfx_tpu.parallel import replicate, shard_batch
+
+    B = batch[0].shape[0]
+    dp = mesh.shape["dp"]
+    if B % dp:
+        if strict:
+            raise ValueError(
+                f"batch size {B} not divisible by dp={dp} "
+                "(trainer.devices / trainer.tensor_parallel)"
+            )
+        # eval batches may be smaller than the mesh — replicate instead
+        return replicate(batch, mesh)
+    return shard_batch(batch, mesh)
+
+
 def _mean_logs(rows: list[dict]) -> dict:
     if not rows:
         return {}
@@ -137,11 +190,11 @@ def _mean_logs(rows: list[dict]) -> dict:
 
 
 def evaluate(task, state, loader, prefix="valid", log_audio_to=None,
-             sample_rate=48000, step=0):
+             sample_rate=48000, step=0, mesh=None):
     rows = []
     first = True
     for batch in loader:
-        b = _adapt_batch(task, batch)
+        b = _shard(_adapt_batch(task, batch), mesh, strict=False)
         metrics = task.eval_step(state, b, prefix)
         rows.append(metrics)
         if first and log_audio_to is not None and not isinstance(task, ClassifierTask):
@@ -179,6 +232,10 @@ def fit(cfg: dict):
     if cfg.get("ckpt_path"):
         state = restore_from(cfg["ckpt_path"], state)
         log.info("restored checkpoint from %s", cfg["ckpt_path"])
+    mesh = build_mesh(cfg)
+    if mesh is not None:
+        state = _shard_state(state, mesh)
+        log.info("multi-device training: mesh %s", dict(mesh.shape))
 
     logger = make_logger(cfg.get("logger", "csv"), cfg["logs_dir"])
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
@@ -209,7 +266,7 @@ def fit(cfg: dict):
         jax.profiler.start_trace(str(Path(cfg["logs_dir"]) / "profile"))
     while step < max_steps and (max_epochs < 0 or epoch < max_epochs):
         for batch in datamodule.train_dataloader():
-            b = _adapt_batch(task, batch)
+            b = _shard(_adapt_batch(task, batch), mesh)
             key, k_step = jrandom.split(key)
             state, metrics = task.train_step(state, b, k_step)
             micro += 1
@@ -226,7 +283,7 @@ def fit(cfg: dict):
         val_metrics = evaluate(
             task, state, datamodule.val_dataloader(), "valid",
             log_audio_to=logger if cfg.get("log_audio") else None,
-            sample_rate=cfg["sample_rate"], step=step,
+            sample_rate=cfg["sample_rate"], step=step, mesh=mesh,
         )
         logger.log_metrics(val_metrics, step)
         log.info("epoch %d step %d: %s", epoch, step,
@@ -242,7 +299,8 @@ def fit(cfg: dict):
         state = ckpts.restore(state, "best")
     except Exception:
         log.warning("no best checkpoint; testing final state")
-    test_metrics = evaluate(task, state, datamodule.test_dataloader(), "test")
+    test_metrics = evaluate(task, state, datamodule.test_dataloader(), "test",
+                            mesh=mesh)
     logger.log_metrics(test_metrics, step)
     log.info("test: %s", {k: round(v, 4) for k, v in test_metrics.items()})
     logger.close()
@@ -257,8 +315,12 @@ def test(cfg: dict):
     state = task.init_state(jax.random.PRNGKey(cfg["seed"]), x0)
     if cfg.get("ckpt_path"):
         state = restore_from(cfg["ckpt_path"], state)
+    mesh = build_mesh(cfg)
+    if mesh is not None:
+        state = _shard_state(state, mesh)
     logger = make_logger(cfg.get("logger", "csv"), cfg["logs_dir"])
-    metrics = evaluate(task, state, datamodule.test_dataloader(), "test")
+    metrics = evaluate(task, state, datamodule.test_dataloader(), "test",
+                       mesh=mesh)
     logger.log_metrics(metrics, 0)
     log.info("test: %s", {k: round(v, 4) for k, v in metrics.items()})
     logger.close()

@@ -58,3 +58,37 @@ def test_graft_entry_compiles():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fit_multidevice_matches_single(tmp_path):
+    """trainer.devices wired into fit() (VERDICT r1 #4): an 8-device dp
+    mesh must produce the same training trajectory as single-device
+    (same data order, same keys; GSPMD summing shard gradients equals
+    the global batch gradient)."""
+    from remfx_tpu.config.core import parse_cli
+    from remfx_tpu.train.loop import fit
+
+    def run(devices, tag):
+        cfg = parse_cli([
+            "+exp=distortion", "model.name=tcn",
+            "model.network.nblocks=3", "model.network.channel_width=8",
+            "model.network.kernel_size=3", "model.network.dilation_growth=2",
+            "datamodule.synthetic=true", "datamodule.dataset_type=dynamic",
+            "datamodule.train_chunks=8", "datamodule.val_chunks=2",
+            "datamodule.test_chunks=2", "datamodule.train_batch_size=8",
+            "datamodule.test_batch_size=2", "trainer.max_steps=2",
+            "trainer.max_epochs=1", "chunk_size=4096",
+            f"trainer.devices={devices}",
+            f"logs_dir={tmp_path / tag}",
+        ])
+        cfg["render_root"] = str(tmp_path / f"data_{tag}")
+        state, metrics = fit(cfg)
+        return metrics
+
+    m1 = run(1, "single")
+    m8 = run(8, "mesh8")
+    assert np.isfinite(m8["test_loss"])
+    np.testing.assert_allclose(m8["test_loss"], m1["test_loss"],
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(m8["test_SISDR"], m1["test_SISDR"],
+                               rtol=2e-3, atol=2e-3)
