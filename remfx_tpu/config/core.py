@@ -54,6 +54,10 @@ def default_config() -> dict:
             "gradient_clip_val": 10.0,
             "accumulate_grad_batches": 1,
             "devices": 1,
+            # resume from the newest "last" ckpt in logs_dir (preemption
+            # recovery; upgrade over reference cfg/config.yaml:36 which
+            # only saves last and requires a manual ckpt_path)
+            "auto_resume": False,
         },
         "callbacks": {
             "model_checkpoint": {"monitor": "valid_loss", "mode": "min",

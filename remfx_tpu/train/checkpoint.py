@@ -59,6 +59,21 @@ class CheckpointManager:
         return self._ckptr.restore(path, jax.device_get(state_like))
 
 
+def find_latest_run(logs_dir: str):
+    """Newest timestamped ckpt dir under ``logs_dir/ckpts`` that holds a
+    completed "last" save, or None. Enables preemption auto-resume
+    (upgrade over the reference, which only has save_last + a manual
+    ckpt_path, cfg/config.yaml:36, scripts/test.py:20-23)."""
+    root = Path(logs_dir) / "ckpts"
+    if not root.is_dir():
+        return None
+    runs = sorted(
+        (d for d in root.iterdir() if (d / "last_meta.json").is_file()),
+        key=lambda d: d.name,
+    )
+    return runs[-1] if runs else None
+
+
 def restore_from(path: str, state_like):
     """Restore from an explicit checkpoint directory path."""
     return ocp.StandardCheckpointer().restore(

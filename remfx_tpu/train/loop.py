@@ -8,6 +8,7 @@ best checkpoint.
 
 from __future__ import annotations
 
+import json
 import time
 from pathlib import Path
 
@@ -22,7 +23,11 @@ from remfx_tpu.data.datasets import (
     InferenceDataset,
 )
 from remfx_tpu.models import make_cnn14, make_model
-from remfx_tpu.train.checkpoint import CheckpointManager, restore_from
+from remfx_tpu.train.checkpoint import (
+    CheckpointManager,
+    find_latest_run,
+    restore_from,
+)
 from remfx_tpu.train.loggers import make_logger
 from remfx_tpu.train.tasks import ClassifierTask, RemovalTask
 from remfx_tpu.utils.logging import get_logger
@@ -229,9 +234,25 @@ def fit(cfg: dict):
     x0, _ = _adapt_batch(task, first_batch)
     key, k_init = jrandom.split(key)
     state = task.init_state(k_init, x0)
+    start_step = 0
+    resume_best = None
+    prior = None
     if cfg.get("ckpt_path"):
         state = restore_from(cfg["ckpt_path"], state)
         log.info("restored checkpoint from %s", cfg["ckpt_path"])
+    elif cfg["trainer"].get("auto_resume"):
+        # preemption recovery (SURVEY §5.3 upgrade): resume from the
+        # newest "last" checkpoint in this logs_dir, keeping the step
+        # counter and best-metric watermark
+        prior = find_latest_run(cfg["logs_dir"])
+        if prior is not None:
+            state = restore_from(str(prior / "last"), state)
+            start_step = json.loads(
+                (prior / "last_meta.json").read_text()).get("step", 0)
+            bm = prior / "best_meta.json"
+            if bm.is_file():
+                resume_best = json.loads(bm.read_text())
+            log.info("auto-resumed from %s at step %d", prior, start_step)
     mesh = build_mesh(cfg)
     if mesh is not None:
         state = _shard_state(state, mesh)
@@ -248,6 +269,8 @@ def fit(cfg: dict):
         monitor=mc.get("monitor", "valid_loss"),
         mode=mc.get("mode", "min"),
     )
+    if resume_best is not None and ckpts.monitor in resume_best:
+        ckpts.best = float(resume_best[ckpts.monitor])
 
     max_steps = cfg["trainer"]["max_steps"]
     max_epochs = cfg["trainer"].get("max_epochs", -1)
@@ -257,7 +280,7 @@ def fit(cfg: dict):
     # (optax.MultiSteps applies the inner update on the k-th), keeping the
     # LR milestone schedule (0.8/0.95 * max_steps) aligned.
     accum = getattr(task, "accumulate_grad_batches", 1)
-    step = 0
+    step = start_step
     micro = 0
     epoch = 0
     t0 = time.time()
@@ -275,7 +298,8 @@ def fit(cfg: dict):
             step += 1
             if step % log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
-                metrics["steps_per_sec"] = step / (time.time() - t0)
+                metrics["steps_per_sec"] = (step - start_step) / (
+                    time.time() - t0)
                 logger.log_metrics(metrics, step)
             if step >= max_steps:
                 break
@@ -298,7 +322,11 @@ def fit(cfg: dict):
     try:
         state = ckpts.restore(state, "best")
     except Exception:
-        log.warning("no best checkpoint; testing final state")
+        if prior is not None and (prior / "best").exists():
+            # resumed run never improved on the prior best
+            state = restore_from(str(prior / "best"), state)
+        else:
+            log.warning("no best checkpoint; testing final state")
     test_metrics = evaluate(task, state, datamodule.test_dataloader(), "test",
                             mesh=mesh)
     logger.log_metrics(test_metrics, step)

@@ -183,3 +183,43 @@ def test_external_embedding_classifiers_fail_loudly():
                          "logs_dir=/tmp/x"] + _tiny_overrides())
         with pytest.raises(RuntimeError, match="external HEAR"):
             build_task(cfg)
+
+
+def test_auto_resume_from_last(tmp_path):
+    """trainer.auto_resume resumes step counter + params from the newest
+    "last" checkpoint in logs_dir (preemption recovery, SURVEY §5.3)."""
+    import jax
+
+    base = [
+        "+exp=distortion", "model.name=tcn",
+        "model.network.nblocks=3", "model.network.channel_width=8",
+        "model.network.kernel_size=3", "model.network.dilation_growth=2",
+        f"logs_dir={tmp_path}",
+    ] + _tiny_overrides()
+    cfg = parse_cli(base + ["trainer.max_steps=2", "trainer.max_epochs=1"])
+    cfg["render_root"] = str(tmp_path / "data")
+    state1, _ = fit(cfg)
+
+    import logging
+
+    from remfx_tpu.train.checkpoint import find_latest_run
+
+    cfg2 = parse_cli(base + ["trainer.max_steps=3", "trainer.max_epochs=2",
+                             "trainer.auto_resume=true",
+                             "render_files=false"])
+    cfg2["render_root"] = str(tmp_path / "data")
+    records = []
+    h = logging.Handler()
+    h.emit = lambda r: records.append(r.getMessage())
+    logging.getLogger("remfx_tpu.train.loop").addHandler(h)
+    try:
+        state2, metrics2 = fit(cfg2)
+    finally:
+        logging.getLogger("remfx_tpu.train.loop").removeHandler(h)
+    assert any("auto-resumed" in m and "step 2" in m for m in records), records
+    assert np.isfinite(metrics2["test_loss"])
+    import json as _json
+
+    last = find_latest_run(str(tmp_path))
+    meta = _json.loads((last / "last_meta.json").read_text())
+    assert meta["step"] == 3, meta
