@@ -34,7 +34,7 @@ def main():
     from remfx_tpu.utils.timing import timeit
 
     sample_rate = 48000
-    T = 262144  # the eval chunk size (5.46 s)
+    T = int(os.environ.get("REMFX_BENCH_T", "262144"))  # eval chunk (5.46 s)
     B = int(os.environ.get("REMFX_BENCH_BATCH", "32"))
     dtype = jnp.bfloat16 if os.environ.get("REMFX_BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
@@ -76,7 +76,7 @@ def main():
         cls_vars)
     x = x.astype(dtype)
 
-    dispatch = os.environ.get("REMFX_BENCH_DISPATCH", "staged")
+    dispatch = os.environ.get("REMFX_BENCH_DISPATCH", "regroup")
     chain = ChainInference(models, sample_rate, classifier=(cls, cls_vars),
                            dispatch=dispatch)
     labels = jnp.ones((B, 5), jnp.float32)
@@ -87,6 +87,23 @@ def main():
 
         def run():
             out, _ = fn(model_vars, cls_vars, x, labels)
+            return out
+    elif dispatch == "regroup":
+        # the reference protocol's workload: each effect present on a
+        # given example w.p. ~0.5 (avg ~2.5 of 5, BASELINE.md context
+        # note). Classifier detect (full cost) + host readback + per-
+        # stage sub-batch regrouped removal — oracle labels stand in for
+        # the detect decisions so the measured distribution is pinned.
+        oracle = (jax.random.uniform(jax.random.PRNGKey(7), (B, 5)) <
+                  0.5).astype(jnp.float32)
+        oracle_chain = ChainInference(models, sample_rate,
+                                      dispatch="regroup")
+
+        def run():
+            probs = chain.detect(x)  # timed, decisions unused
+            jax.block_until_ready(probs)
+            out, _ = oracle_chain._run_regrouped(
+                x, oracle, oracle_chain.effect_order)
             return out
     else:
         def run():

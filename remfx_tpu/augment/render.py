@@ -22,10 +22,11 @@ Two dispatch modes:
     render is ONE jitted graph (cheap at runtime, but the target
     backend's compiler takes unbounded time on the full 5-effect graph).
   * ``"dense"`` (default) — host-orchestrated: each effect's batched
-    render is its own small jitted function; per slot, every candidate
-    effect renders the full batch and a per-example mask selects the
-    slot's effect (or identity). ~n_candidates x compute per slot, but
-    compile units stay small and are shared across slots/stages.
+    render is its own small jitted function; per slot, the examples
+    assigned to each effect are gathered into a pow2-bucketed sub-batch,
+    rendered, and scattered back (utils/regroup.py) — compute scales
+    with assigned work, compile units stay small and shared across
+    slots/stages.
 """
 
 from __future__ import annotations
@@ -40,6 +41,7 @@ from remfx_tpu import ALL_EFFECTS
 from remfx_tpu.fx import make_effect
 from remfx_tpu.losses import multi_resolution_stft_loss
 from remfx_tpu.ops.loudness import loudness_normalize
+from remfx_tpu.utils.regroup import bucketed_indices
 
 STFT_THRESH = 1e-3  # reference remfx/datasets.py:19
 
@@ -253,12 +255,17 @@ class EffectChainRenderer:
             ex_keys = jax.random.split(k_slot, B)
             col = slot_effect[:, s]
             for li, name in enumerate(names):
-                mask = col == li
-                if not mask.any():
+                sel = np.nonzero(col == li)[0]
+                if sel.size == 0:
                     continue
-                y = self._batched_fx[name](ex_keys, x)
-                m = jnp.asarray(mask)[:, None, None]
-                x = jnp.where(m, y, x)
+                # sub-batch regrouping: render only this slot's members
+                # (pow2-padded), not the full batch (round-1 dense mode
+                # burned ~n_candidates x the necessary compute)
+                gi = jnp.asarray(bucketed_indices(sel, max_size=B))
+                y = self._batched_fx[name](
+                    jnp.take(ex_keys, gi, axis=0), jnp.take(x, gi, axis=0)
+                )
+                x = x.at[gi].set(y)
         return x, labels
 
     def render_batch(self, key, x):

@@ -58,7 +58,10 @@ class ChainInference:
         dispatch: str = "single",
     ):
         """dispatch: "single" = whole chain in one jit; "staged" = one jit
-        per stage (smaller compile units for the remote compiler)."""
+        per stage (smaller compile units for the remote compiler);
+        "regroup" = staged + host-side sub-batch regrouping so each stage
+        only computes its detected members (BASELINE.md "next lever" —
+        masked-off models no longer burn full-batch compute)."""
         self.models = dict(models)
         self.sample_rate = sample_rate
         self.effect_order = tuple(effect_order)
@@ -151,6 +154,54 @@ class ChainInference:
             labels = jnp.ones_like(labels)
         return self.remove(x, labels, order)
 
+    def _sub_fn(self, name: str):
+        """Jitted un-masked stage apply over a compact sub-batch."""
+        key = ("sub", name)
+        if key not in self._stage_jits:
+            wrapper, _ = self.models[name]
+            self._stage_jits[key] = jax.jit(
+                lambda v, y: wrapper.sample(v, y)
+            )
+        return self._stage_jits[key]
+
+    def _run_regrouped(self, x, labels, order):
+        """Per stage: gather detected members into a pow2-bucketed
+        sub-batch, run the model on just those, scatter back."""
+        import numpy as np
+
+        from remfx_tpu.utils.regroup import bucketed_indices
+
+        if self.classifier is not None:
+            labels = self.detect(x)
+        if self.use_all_effect_models:
+            labels = jnp.ones_like(labels)
+        lab_host = np.asarray(labels)
+        B = x.shape[0]
+        y = x
+        for name in order:
+            if name not in self.models:
+                continue
+            idx = ALL_EFFECTS.index(EFFECT_CLASS_NAMES[name])
+            wrapper, variables = self.models[name]
+            sel = np.nonzero(lab_host[:, idx] > 0.5)[0]
+            if sel.size == 0:
+                # masked modes run (and crop for) every stage in the
+                # order; match their length semantics without computing
+                out_shape = jax.eval_shape(
+                    lambda v, a: wrapper.sample(v, a), variables, y
+                )
+                if out_shape.shape[-1] < y.shape[-1]:
+                    y = causal_crop(y, out_shape.shape[-1])
+                continue
+            gi = jnp.asarray(bucketed_indices(sel, max_size=B))
+            out = self._sub_fn(name)(variables, jnp.take(y, gi, axis=0))
+            if out.shape[-1] < y.shape[-1]:
+                y = causal_crop(y, out.shape[-1])
+            # duplicate pad indices carry identical values (same input +
+            # deterministic model) so the scatter is well-defined
+            y = y.at[gi].set(out)
+        return y, labels
+
     # ------------------------------------------------------------------
 
     def forward(self, batch, order=None, verbose: bool = False):
@@ -161,7 +212,9 @@ class ChainInference:
         """
         x, y, _, wet_labels = batch
         order = tuple(order) if order is not None else self.effect_order
-        if self.dispatch == "staged":
+        if self.dispatch == "regroup":
+            output, labels = self._run_regrouped(x, wet_labels, order)
+        elif self.dispatch == "staged":
             output, labels = self._run_staged(x, wet_labels, order)
         else:
             model_vars = {k: v for k, (_, v) in self.models.items()}

@@ -125,25 +125,37 @@ def _effect_specific(effect: str, model: str):
     )
 
 
+# exact per-file effects_to_keep orders from reference cfg/exp/*_aug.yaml
+# (immaterial behaviorally — shuffle_kept_effects is True — but kept
+# verbatim for config parity)
+_AUG_KEEP_ORDER = {
+    "chorus": ["compressor", "distortion", "delay", "reverb"],
+    "delay": ["compressor", "distortion", "chorus", "reverb"],
+    "reverb": ["compressor", "distortion", "chorus", "delay"],
+    "distortion": ["compressor", "reverb", "chorus", "delay"],
+    "compressor": ["distortion", "chorus", "delay", "reverb"],
+}
+
+
 def _effect_aug(effect: str, model: str):
-    others = [e for e in ["compressor", "distortion", "delay", "reverb", "chorus"]
-              if e != effect]
+    others = _AUG_KEEP_ORDER[effect]
     return _base(
         model,
         num_kept_effects=[0, 4],
         num_removed_effects=[1, 1],
-        num_classes=1,
+        num_classes=5,  # reference cfg/exp/*_aug.yaml (5, unlike non-aug)
         effects_to_keep=others,
         effects_to_remove=[effect],
     )
 
 
-def _monolithic(n_min: int, n_max: int, model="demucs"):
+def _monolithic(n_min: int, n_max: int, model="demucs", shuffle=True,
+                remove_order=None):
     return _base(
         model,
         num_removed_effects=[n_min, n_max],
-        shuffle_removed_effects=True,
-        effects_to_remove=list(CORE5),
+        shuffle_removed_effects=shuffle,
+        effects_to_remove=list(remove_order or CORE5),
     )
 
 
@@ -155,18 +167,22 @@ def _classifier(model="cls_panns_48k_specaugment", dynamic=False):
         effects_to_remove=list(CORE5),
         log_audio=False,
         datamodule={"train_batch_size": 64, "test_batch_size": 256},
-        trainer={"max_epochs": 300},
+        # epoch-bounded like the reference (max_steps: -1 = unlimited,
+        # cfg/exp/5-5_full_cls.yaml trainer block)
+        trainer={"max_epochs": 300, "max_steps": -1},
         callbacks={"model_checkpoint": {"monitor": "valid_avg_acc",
                                         "mode": "max"}},
     )
     if dynamic:
         deep_update(cfg, {"datamodule": {"dataset_type": "dynamic",
                                           "train_batch_size": 32,
+                                          "num_workers": 12,
                                           "parallel": True}})
     return cfg
 
 
-def _chain(classifier=False, use_all=False, custom=False, model="demucs"):
+def _chain(classifier=False, use_all=False, custom=False, model="demucs",
+           aug=True, shuffle=False):
     cfg = _base(
         model,
         num_removed_effects=[0, 5],
@@ -175,17 +191,26 @@ def _chain(classifier=False, use_all=False, custom=False, model="demucs"):
         render_files=False,
     )
     cfg["dcunet"] = dict(MODEL_CONFIGS["dcunet"])
+    # chain_inference uses the non-FXAug checkpoints (reference
+    # cfg/exp/chain_inference.yaml:48-60); every other chain experiment
+    # uses the *_aug ones
+    sfx = "_aug" if aug else ""
     cfg["ckpts"] = {
-        "RandomPedalboardDistortion": {"model": "demucs",
-                                        "ckpt_path": "ckpts/demucs_distortion_aug.ckpt"},
-        "RandomPedalboardCompressor": {"model": "demucs",
-                                        "ckpt_path": "ckpts/demucs_compressor_aug.ckpt"},
-        "RandomPedalboardReverb": {"model": "dcunet",
-                                    "ckpt_path": "ckpts/dcunet_reverb_aug.ckpt"},
-        "RandomPedalboardChorus": {"model": "dcunet",
-                                    "ckpt_path": "ckpts/dcunet_chorus_aug.ckpt"},
-        "RandomPedalboardDelay": {"model": "dcunet",
-                                   "ckpt_path": "ckpts/dcunet_delay_aug.ckpt"},
+        "RandomPedalboardDistortion": {
+            "model": "demucs",
+            "ckpt_path": f"ckpts/demucs_distortion{sfx}.ckpt"},
+        "RandomPedalboardCompressor": {
+            "model": "demucs",
+            "ckpt_path": f"ckpts/demucs_compressor{sfx}.ckpt"},
+        "RandomPedalboardReverb": {
+            "model": "dcunet",
+            "ckpt_path": f"ckpts/dcunet_reverb{sfx}.ckpt"},
+        "RandomPedalboardChorus": {
+            "model": "dcunet",
+            "ckpt_path": f"ckpts/dcunet_chorus{sfx}.ckpt"},
+        "RandomPedalboardDelay": {
+            "model": "dcunet",
+            "ckpt_path": f"ckpts/dcunet_delay{sfx}.ckpt"},
     }
     cfg["inference_effects_ordering"] = [
         "RandomPedalboardDistortion",
@@ -195,14 +220,16 @@ def _chain(classifier=False, use_all=False, custom=False, model="demucs"):
         "RandomPedalboardDelay",
     ]
     cfg["num_bins"] = 1025
-    cfg["inference_effects_shuffle"] = not custom
+    # chain_inference*: False; remfx_{oracle,detect,all}: True
+    # (reference cfg/exp/*.yaml inference_effects_shuffle lines)
+    cfg["inference_effects_shuffle"] = shuffle
     cfg["inference_use_all_effect_models"] = use_all
     if classifier:
         cfg["classifier"] = _cls_panns(specaugment=True)
         cfg["classifier_ckpt"] = "ckpts/classifier.ckpt"
     if custom:
-        cfg["datamodule"] = {"dataset_type": "inference", "test_batch_size": 1}
-        cfg["inference_effects_shuffle"] = False
+        cfg["datamodule"] = {"dataset_type": "inference",
+                             "train_batch_size": 1, "test_batch_size": 1}
     return cfg
 
 
@@ -228,18 +255,24 @@ EXPERIMENTS = {
     "5-5": lambda: _monolithic(5, 5),
     "5-1": lambda: _monolithic(1, 1),
     "5-5_full": lambda: _monolithic(0, 5),
-    "default": lambda: _monolithic(0, 5, model="umx"),
+    # reference cfg/exp/default.yaml: shuffle False + its own list order
+    # (order matters without shuffle: effects apply in list order)
+    "default": lambda: _monolithic(
+        0, 5, model="umx", shuffle=False,
+        remove_order=["compressor", "reverb", "chorus", "delay",
+                      "distortion"]),
     # classifier
     "5-5_full_cls": lambda: _classifier(),
     "5-5_full_cls_dynamic": lambda: _classifier(dynamic=True),
     # chain inference
-    "chain_inference": lambda: _chain(),
+    "chain_inference": lambda: _chain(aug=False),
     "chain_inference_aug": lambda: _chain(),
     "chain_inference_aug_classifier": lambda: _chain(classifier=True),
     "chain_inference_custom": lambda: _chain(custom=True),
-    "remfx_oracle": lambda: _chain(),
-    "remfx_detect": lambda: _chain(classifier=True),
-    "remfx_all": lambda: _chain(classifier=True, use_all=True),
+    "remfx_oracle": lambda: _chain(shuffle=True),
+    "remfx_detect": lambda: _chain(classifier=True, shuffle=True),
+    "remfx_all": lambda: _chain(classifier=True, use_all=True,
+                                shuffle=True),
 }
 
 

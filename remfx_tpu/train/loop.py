@@ -273,6 +273,8 @@ def fit(cfg: dict):
         ckpts.best = float(resume_best[ckpts.monitor])
 
     max_steps = cfg["trainer"]["max_steps"]
+    if max_steps is None or max_steps < 0:  # Lightning: -1 = unlimited
+        max_steps = float("inf")
     max_epochs = cfg["trainer"].get("max_epochs", -1)
     log_every = cfg["trainer"].get("log_every_n_steps", 1)
     # Lightning counts OPTIMIZER steps against max_steps: with

@@ -45,9 +45,12 @@ def multistep_adamw(
 ):
     """AdamW + MultiStepLR (reference remfx/models.py:185-206) + the
     trainer's global-norm clip (cfg/config.yaml:119)."""
-    schedule = optax.piecewise_constant_schedule(
-        lr, {int(m * max_steps): gamma for m in milestones}
-    )
+    if max_steps is None or max_steps <= 0:  # -1 = unlimited: constant LR
+        schedule = lr
+    else:
+        schedule = optax.piecewise_constant_schedule(
+            lr, {int(m * max_steps): gamma for m in milestones}
+        )
     return optax.chain(
         optax.clip_by_global_norm(gradient_clip_val),
         optax.adamw(schedule, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay),
