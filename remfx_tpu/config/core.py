@@ -53,6 +53,10 @@ def default_config() -> dict:
             "log_every_n_steps": 1,
             "gradient_clip_val": 10.0,
             "accumulate_grad_batches": 1,
+            # 32 (reference cfg/config.yaml:111) or "bf16-mixed": bf16
+            # compute with fp32 master weights/optimizer (TPU-native
+            # upgrade; halves activation HBM and feeds the MXU bf16)
+            "precision": 32,
             "devices": 1,
             # resume from the newest "last" ckpt in logs_dir (preemption
             # recovery; upgrade over reference cfg/config.yaml:36 which

@@ -135,6 +135,7 @@ def build_task(cfg: dict):
         accumulate_grad_batches=cfg["trainer"].get(
             "accumulate_grad_batches", 1
         ),
+        precision=cfg["trainer"].get("precision", "32"),
     )
 
 

@@ -75,9 +75,15 @@ class RemovalTask:
         gradient_clip_val: float = 10.0,
         sample_rate: int = 48000,
         accumulate_grad_batches: int = 1,
+        precision: str = "32",
     ):
         self.wrapper = wrapper
         self.sample_rate = sample_rate
+        # "bf16-mixed": bf16 compute / fp32 master weights + updates.
+        # Params are cast inside loss_fn, so value_and_grad differentiates
+        # the fp32 leaves and the cast's VJP returns fp32 grads; losses
+        # promote to fp32 where they touch the fp32 target.
+        self.precision = str(precision)
         # Lightning semantics: max_steps and the LR milestones count
         # OPTIMIZER steps; the fit() loop consumes accumulate_grad_batches
         # micro-batches per counted step (see train/loop.py).
@@ -99,6 +105,18 @@ class RemovalTask:
         batch_stats = variables.get("batch_stats")
         return TrainState.create(
             apply_fn=None, params=params, tx=self.tx, batch_stats=batch_stats
+        )
+
+    @property
+    def _half(self):
+        return self.precision in ("bf16", "bf16-mixed", "bf16-true")
+
+    @staticmethod
+    def _cast_half(tree):
+        return jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            tree,
         )
 
     def _variables(self, state):
@@ -124,27 +142,47 @@ class RemovalTask:
         x, y = batch
 
         def loss_fn(params):
+            xx = x
+            if self._half:
+                params = self._cast_half(params)
+                xx = x.astype(jnp.bfloat16)
             variables = {"params": params}
             if state.batch_stats is not None:
-                variables["batch_stats"] = state.batch_stats
+                variables["batch_stats"] = (
+                    self._cast_half(state.batch_stats)
+                    if self._half else state.batch_stats
+                )
             loss, output, updates = self.wrapper.forward(
-                variables, (x, y), train=True, rngs={"dropout": key}
+                variables, (xx, y), train=True, rngs={"dropout": key}
             )
-            return loss, (output, updates)
+            return loss.astype(jnp.float32), (output, updates)
 
         (loss, (output, updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         state = state.apply_gradients(grads=grads)
         if updates is not None and state.batch_stats is not None:
-            state = state.replace(batch_stats=updates["batch_stats"])
+            new_stats = updates["batch_stats"]
+            if self._half:  # keep fp32 master stats
+                new_stats = jax.tree.map(
+                    lambda a, ref: a.astype(ref.dtype),
+                    new_stats, state.batch_stats,
+                )
+            state = state.replace(batch_stats=new_stats)
+        output = output.astype(jnp.float32)
         return state, self._metrics(output, x, y, loss, "train")
 
     @partial(jax.jit, static_argnums=(0, 3))
     def eval_step(self, state: TrainState, batch, prefix: str = "valid"):
         x, y = batch
-        loss, output, _ = self.wrapper.forward(self._variables(state), (x, y))
-        return self._metrics(output, x, y, loss, prefix)
+        variables = self._variables(state)
+        xx = x
+        if self._half:
+            variables = self._cast_half(variables)
+            xx = x.astype(jnp.bfloat16)
+        loss, output, _ = self.wrapper.forward(variables, (xx, y))
+        return self._metrics(output.astype(jnp.float32), x, y,
+                             loss.astype(jnp.float32), prefix)
 
 
 # --------------------------------------------------------------- classifier
