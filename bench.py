@@ -50,10 +50,14 @@ def main():
         "RandomPedalboardChorus": "dcunet",
         "RandomPedalboardDelay": "dcunet",
     }
+    small = os.environ.get("REMFX_BENCH_SMALL") == "1"  # CI smoke only
     models = {}
     for name in DEFAULT_ORDER:
         kind = backbone_for[name]
-        if kind == "demucs":
+        if small:
+            wrapper = make_model("tcn", nblocks=3, channel_width=8,
+                                 kernel_size=3, dilation_growth=2)
+        elif kind == "demucs":
             wrapper = make_model("demucs", sources=["mixture"], audio_channels=1,
                                  nfft=4096, channels=48)
         else:
