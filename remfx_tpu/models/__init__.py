@@ -71,9 +71,21 @@ def make_umx(
     hop_length=512,
     n_channels=1,
     alpha=0.3,
+    niter=0,
+    softmask=False,
+    residual=False,
+    wiener_win_len=300,
     **_ignored,
 ) -> ModelWrapper:
-    module = UMXSeparator(n_fft=n_fft, hop_length=hop_length, nb_channels=n_channels)
+    module = UMXSeparator(
+        n_fft=n_fft,
+        hop_length=hop_length,
+        nb_channels=n_channels,
+        niter=niter,
+        softmask=softmask,
+        residual=residual,
+        wiener_win_len=wiener_win_len,
+    )
     return ModelWrapper(module, name="umx", takes_train_flag=True)
 
 

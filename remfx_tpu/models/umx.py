@@ -128,12 +128,24 @@ class OpenUnmix(nn.Module):
 
 
 class UMXSeparator(nn.Module):
-    """STFT -> OpenUnmix magnitude estimate -> mixture-phase reconstruction
-    (wiener with niter=0, softmask=False) -> iSTFT."""
+    """STFT -> OpenUnmix magnitude estimate -> wiener reconstruction -> iSTFT.
+
+    ``niter=0`` (the upstream Separator default used by the reference,
+    remfx/models.py:283-288: no ``niter`` passed) reconstructs with the
+    mixture phase.  ``niter>0`` runs the norbert EM refinement
+    (ops/wiener.py); as upstream, a single target then requires
+    ``residual=True`` (the residual source is appended internally and
+    dropped from the output).  ``softmask`` selects ratio-mask
+    initialisation; ``wiener_win_len`` bounds per-window EM statistics.
+    """
 
     n_fft: int = 2048
     hop_length: int = 512
     nb_channels: int = 1
+    niter: int = 0
+    softmask: bool = False
+    residual: bool = False
+    wiener_win_len: int | None = 300
 
     def setup(self):
         self.model = OpenUnmix(
@@ -150,8 +162,31 @@ class UMXSeparator(nn.Module):
         re, im = stft_ri(audio, self.n_fft, self.hop_length, window)
         mag = jnp.sqrt(re * re + im * im)
         est = self.model(mag, train)  # (B, C, F, frames)
-        # mixture phase: est * e^{j angle(X)}
-        denom = jnp.maximum(mag, 1e-8)
-        yr = est * re / denom
-        yi = est * im / denom
+        if self.niter == 0 and not self.softmask:
+            # fast path: magnitude estimate with the mixture phase
+            denom = jnp.maximum(mag, 1e-8)
+            yr = est * re / denom
+            yi = est * im / denom
+        else:
+            from remfx_tpu.ops.wiener import wiener
+
+            # (B, C, F, frames) -> per-example (frames, F, C, S=1)
+            def one(est_b, re_b, im_b):
+                tm = jnp.transpose(est_b, (2, 1, 0))[..., None]
+                xr = jnp.transpose(re_b, (2, 1, 0))
+                xi = jnp.transpose(im_b, (2, 1, 0))
+                yr, yi = wiener(
+                    tm, xr, xi,
+                    niter=self.niter,
+                    softmask=self.softmask,
+                    residual=self.residual or self.niter > 0,
+                    wiener_win_len=self.wiener_win_len,
+                )
+                # keep target source 0; back to (C, F, frames)
+                return (
+                    jnp.transpose(yr[..., 0], (2, 1, 0)),
+                    jnp.transpose(yi[..., 0], (2, 1, 0)),
+                )
+
+            yr, yi = jax.vmap(one)(est, re, im)
         return istft_ri(yr, yi, self.n_fft, self.hop_length, window, length=T)
