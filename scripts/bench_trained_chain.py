@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Perf AND fidelity on the same artifact: run the remove chain with
+TRAINED checkpoints on a freshly rendered synthetic eval batch, and
+report both the real-time factor and the SI-SDR improvement over the
+input. (Round-1 review: the headline RTF was measured with random
+weights; this pins the two on one system.)
+
+Usage:
+    python scripts/bench_trained_chain.py distortion=ckpts/tcn_distortion_synth \
+        [chorus=ckpts/dcunet_chorus_synth ...] [--batch 16]
+
+Each ckpt dir is the vendored layout: best/ (orbax) + hparams.json
+(model + trainer cfg as written by the train loop).
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from remfx_tpu.utils import runtime  # noqa: E402
+
+runtime.setup()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def load_trained(ckpt_dir: str):
+    """ckpt dir (best/ + hparams.json) -> (effect_name, wrapper, variables)."""
+    from remfx_tpu.models import make_model
+    from remfx_tpu.train.checkpoint import restore_from
+    from remfx_tpu.train.tasks import RemovalTask
+
+    d = Path(ckpt_dir)
+    hp = json.loads((d / "hparams.json").read_text())
+    m = hp["model"]
+    tr = hp.get("trainer", {})
+    wrapper = make_model(m["name"], sample_rate=hp["sample_rate"],
+                         **m.get("network", {}))
+    task = RemovalTask(
+        wrapper,
+        max_steps=tr.get("max_steps", 100),
+        accumulate_grad_batches=tr.get("accumulate_grad_batches", 1),
+    )
+    x0 = jnp.zeros((1, 1, 16384), jnp.float32)
+    state = task.init_state(jax.random.PRNGKey(0), x0)
+    state = restore_from(str(d / "best"), state)
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+    effects = hp.get("effects_to_remove") or []
+    assert len(effects) == 1, f"expected single-effect ckpt, got {effects}"
+    return effects[0], wrapper, variables, hp.get("effects", {})
+
+
+def main():
+    from remfx_tpu import ALL_EFFECTS, EFFECT_CLASS_NAMES
+    from remfx_tpu.augment.render import EffectChainRenderer
+    from remfx_tpu.chain.inference import ChainInference
+    from remfx_tpu.data.sources import synthetic_chunk
+    from remfx_tpu.losses import si_sdr
+    from remfx_tpu.utils.timing import timeit
+
+    args = [a for a in sys.argv[1:]]
+    B, T = 16, 262144
+    for flag in ("--batch", "--T"):
+        if flag in args:
+            i = args.index(flag)
+            val = int(args[i + 1])
+            B, T = (val, T) if flag == "--batch" else (B, val)
+            del args[i:i + 2]
+    specs = dict(a.split("=", 1) for a in args)
+    if not specs:
+        specs = {"distortion": "ckpts/tcn_distortion_synth"}
+
+    sample_rate = 48000
+    class_for = {v: k for k, v in EFFECT_CLASS_NAMES.items()}
+
+    models, effect_names, overrides = {}, [], {}
+    for eff, d in specs.items():
+        name, wrapper, variables, eff_cfg = load_trained(d)
+        assert name == eff, f"{d} was trained for {name}, not {eff}"
+        models[class_for[eff]] = (wrapper, variables)
+        effect_names.append(eff)
+        overrides = eff_cfg or overrides  # dataset-cfg param ranges
+        print(f"loaded {eff} <- {d}", file=sys.stderr)
+
+    # render a synthetic eval batch with exactly the trained effects
+    # applied (oracle labels), reference render semantics incl. LUFS
+    # normalize + MRSTFT redraw, and the same effect parameter ranges
+    # the checkpoints were trained on (cfg/effects/all.yaml)
+    renderer = EffectChainRenderer(
+        sample_rate,
+        effects_to_remove=tuple(effect_names),
+        num_removed_effects=(len(effect_names), len(effect_names)),
+        effect_overrides=overrides,
+    )
+    rng = np.random.default_rng(0)
+    clean = jnp.asarray(np.stack(
+        [synthetic_chunk(rng, T, sample_rate) for _ in range(B)]))
+    dry, wet, _, wet_labels = renderer.render_batch(
+        jax.random.PRNGKey(11), clean)
+    jax.block_until_ready(wet)
+
+    order = [c for c in (
+        "RandomPedalboardDistortion", "RandomPedalboardCompressor",
+        "RandomPedalboardReverb", "RandomPedalboardChorus",
+        "RandomPedalboardDelay") if c in models]
+    chain = ChainInference(models, sample_rate, effect_order=tuple(order),
+                           dispatch="regroup")
+
+    def run():
+        out, _ = chain._run_regrouped(wet, wet_labels, chain.effect_order)
+        return out
+
+    out = run()  # warm + for fidelity
+    jax.block_until_ready(out)
+    # backbones that shorten output (valid-conv TCN) are causally
+    # cropped by the chain; crop references the same way for alignment
+    from remfx_tpu.utils.crop import causal_crop
+
+    Tm = out.shape[-1]
+    dry_c = causal_crop(dry, Tm) if dry.shape[-1] > Tm else dry
+    wet_c = causal_crop(wet, Tm) if wet.shape[-1] > Tm else wet
+    in_sisdr = float(jnp.mean(si_sdr(wet_c, dry_c)))
+    out_sisdr = float(jnp.mean(si_sdr(out, dry_c)))
+
+    dt, _ = timeit(run, iters=5, warmup=0)
+    rtf = B * T / sample_rate / dt
+    print(json.dumps({
+        "metric": "trained_chain",
+        "effects": effect_names,
+        "batch": B,
+        "rtf": round(rtf, 1),
+        "input_si_sdr_db": round(in_sisdr, 2),
+        "output_si_sdr_db": round(out_sisdr, 2),
+        "si_sdr_gain_db": round(out_sisdr - in_sisdr, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
