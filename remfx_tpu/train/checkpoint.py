@@ -79,3 +79,41 @@ def restore_from(path: str, state_like):
     return ocp.StandardCheckpointer().restore(
         Path(path).resolve(), jax.device_get(state_like)
     )
+
+
+def load_trained_wrapper(ckpt_dir: str):
+    """Load a vendored trained checkpoint (layout: ``best/`` orbax dir +
+    ``hparams.json`` as written by the train loop, e.g.
+    ``ckpts/tcn_distortion_synth``).
+
+    Returns ``(effect_name, wrapper, variables)`` ready for
+    ``ChainInference`` / ``wrapper.sample``.  The per-effect checkpoint
+    map mirrors the reference's ``cfg.ckpts`` loading
+    (scripts/chain_inference.py:19-27).
+    """
+    import jax.numpy as jnp
+
+    from remfx_tpu.models import make_model
+    from remfx_tpu.train.tasks import RemovalTask
+
+    d = Path(ckpt_dir)
+    hp = json.loads((d / "hparams.json").read_text())
+    m = hp["model"]
+    tr = hp.get("trainer", {})
+    wrapper = make_model(
+        m["name"], sample_rate=hp["sample_rate"], **m.get("network", {})
+    )
+    task = RemovalTask(
+        wrapper,
+        max_steps=tr.get("max_steps", 100),
+        accumulate_grad_batches=tr.get("accumulate_grad_batches", 1),
+    )
+    x0 = jnp.zeros((1, 1, 16384), jnp.float32)
+    state = task.init_state(jax.random.PRNGKey(0), x0)
+    state = restore_from(str(d / "best"), state)
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+    effects = hp.get("effects_to_remove") or []
+    assert len(effects) == 1, f"expected single-effect ckpt, got {effects}"
+    return effects[0], wrapper, variables

@@ -31,31 +31,12 @@ import numpy as np  # noqa: E402
 
 
 def load_trained(ckpt_dir: str):
-    """ckpt dir (best/ + hparams.json) -> (effect_name, wrapper, variables)."""
-    from remfx_tpu.models import make_model
-    from remfx_tpu.train.checkpoint import restore_from
-    from remfx_tpu.train.tasks import RemovalTask
+    """ckpt dir (best/ + hparams.json) -> (effect, wrapper, vars, fx cfg)."""
+    from remfx_tpu.train.checkpoint import load_trained_wrapper
 
-    d = Path(ckpt_dir)
-    hp = json.loads((d / "hparams.json").read_text())
-    m = hp["model"]
-    tr = hp.get("trainer", {})
-    wrapper = make_model(m["name"], sample_rate=hp["sample_rate"],
-                         **m.get("network", {}))
-    task = RemovalTask(
-        wrapper,
-        max_steps=tr.get("max_steps", 100),
-        accumulate_grad_batches=tr.get("accumulate_grad_batches", 1),
-    )
-    x0 = jnp.zeros((1, 1, 16384), jnp.float32)
-    state = task.init_state(jax.random.PRNGKey(0), x0)
-    state = restore_from(str(d / "best"), state)
-    variables = {"params": state.params}
-    if state.batch_stats is not None:
-        variables["batch_stats"] = state.batch_stats
-    effects = hp.get("effects_to_remove") or []
-    assert len(effects) == 1, f"expected single-effect ckpt, got {effects}"
-    return effects[0], wrapper, variables, hp.get("effects", {})
+    effect, wrapper, variables = load_trained_wrapper(ckpt_dir)
+    hp = json.loads((Path(ckpt_dir) / "hparams.json").read_text())
+    return effect, wrapper, variables, hp.get("effects", {})
 
 
 def main():

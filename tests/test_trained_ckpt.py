@@ -1,0 +1,54 @@
+"""The vendored trained checkpoint (ckpts/tcn_distortion_synth, trained
+on real TPU — BASELINE.md "Trained models") must stay loadable and must
+actually denoise: its output on a distorted synthetic batch must beat
+the input SI-SDR. Guards the artifact + the load path used by
+scripts/bench_trained_chain.py and chain inference (reference analogue:
+per-effect ckpt map, scripts/chain_inference.py:19-27)."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+CKPT = Path(__file__).resolve().parents[1] / "ckpts" / "tcn_distortion_synth"
+
+pytestmark = pytest.mark.skipif(not CKPT.is_dir(), reason="no vendored ckpt")
+
+
+def test_trained_tcn_loads_and_denoises():
+    from remfx_tpu.augment.render import EffectChainRenderer
+    from remfx_tpu.data.sources import synthetic_chunk
+    from remfx_tpu.losses import si_sdr
+    from remfx_tpu.train.checkpoint import load_trained_wrapper
+    from remfx_tpu.utils.crop import causal_crop
+
+    effect, wrapper, variables = load_trained_wrapper(str(CKPT))
+    assert effect == "distortion"
+
+    import json
+
+    hp = json.loads((CKPT / "hparams.json").read_text())
+    renderer = EffectChainRenderer(
+        48000,
+        effects_to_remove=("distortion",),
+        num_removed_effects=(1, 1),
+        effect_overrides=hp["effects"],
+    )
+    rng = np.random.default_rng(0)
+    T = 65536
+    clean = jnp.asarray(np.stack(
+        [synthetic_chunk(rng, T, 48000) for _ in range(4)]))
+    dry, wet, _, _ = renderer.render_batch(jax.random.PRNGKey(3), clean)
+
+    out = wrapper.sample(variables, wet)
+    Tm = out.shape[-1]
+    dry_c = causal_crop(dry, Tm)
+    wet_c = causal_crop(wet, Tm)
+    in_sisdr = float(jnp.mean(si_sdr(wet_c, dry_c)))
+    out_sisdr = float(jnp.mean(si_sdr(out, dry_c)))
+    assert np.isfinite(out_sisdr)
+    assert out_sisdr > in_sisdr + 1.0, (
+        f"trained ckpt no longer denoises: {out_sisdr:.2f} <= {in_sisdr:.2f}"
+    )
