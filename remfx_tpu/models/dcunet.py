@@ -112,8 +112,12 @@ def asteroid_stft(x, kernel_size: int):
 
     K = kernel_size
     cutoff = K // 2 + 1
-    filt = jnp.asarray(_stft_filters(K))[:, None, :]  # (2F, 1, K)
-    y = _framed_dft(x[:, None, :].astype(jnp.float32), filt, K // 2)
+    # keep the caller's compute dtype: forcing f32 here silently
+    # promoted every downstream conv to f32 under the bf16-mixed
+    # policy (activations f32 x weights bf16 -> f32), erasing the MXU
+    # bf16 speedup for the whole network
+    filt = jnp.asarray(_stft_filters(K))[:, None, :].astype(x.dtype)
+    y = _framed_dft(x[:, None, :], filt, K // 2)
     return y[:, :cutoff, :], y[:, cutoff:, :]
 
 

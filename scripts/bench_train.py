@@ -52,7 +52,10 @@ def main():
         net_cfg, b = configs[name]
         xb, yb = x[:b], y[:b]
         audio_sec = b * T / sample_rate
-        task = RemovalTask(make_model(name, **net_cfg), max_steps=50000)
+        precision = os.environ.get("REMFX_BENCH_PRECISION", "32")
+        task = RemovalTask(
+            make_model(name, **net_cfg), max_steps=50000, precision=precision
+        )
         state = task.init_state(jax.random.PRNGKey(1), xb[:2])
 
         # train_step donates the state (tasks.py donate_argnums): thread
