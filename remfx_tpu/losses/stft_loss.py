@@ -27,6 +27,9 @@ from remfx_tpu.ops.stft import hann_window, stft_ri
 
 def _stft_mag(x, n_fft, hop, window, eps):
     re, im = stft_ri(x, n_fft, hop, window)
+    # magnitudes and the downstream norm/log reductions always run in
+    # fp32; only the DFT GEMM uses x's (possibly bf16) compute dtype
+    re, im = re.astype(jnp.float32), im.astype(jnp.float32)
     return jnp.sqrt(jnp.clip(re * re + im * im, eps, None))
 
 

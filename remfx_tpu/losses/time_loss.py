@@ -36,4 +36,5 @@ def si_sdr(x: jax.Array, y: jax.Array) -> jax.Array:
 
 
 def l1_loss(x: jax.Array, y: jax.Array) -> jax.Array:
-    return jnp.mean(jnp.abs(x - y))
+    # reduce in fp32 regardless of (possibly bf16) compute dtype
+    return jnp.mean(jnp.abs(x.astype(jnp.float32) - y.astype(jnp.float32)))

@@ -51,6 +51,15 @@ class ModelWrapper:
         output, updates = self.apply(variables, x, train=train, rngs=rngs)
         if output.shape[-1] < target.shape[-1]:
             target = causal_crop(target, output.shape[-1])
+        if train and output.dtype != target.dtype:
+            # bf16-mixed policy: keep the LOSS in the compute dtype.
+            # A fp32 target would promote its whole STFT branch to
+            # fp32-HIGHEST GEMMs (~half the loss cost on the MXU).
+            # Magnitude/log/norm reductions still accumulate in fp32
+            # inside the loss; only the DFT operands drop precision.
+            # Eval metrics (tasks._metrics) are computed separately in
+            # fp32 and are unaffected.
+            target = target.astype(output.dtype)
         loss = multi_resolution_stft_loss(output, target) + self.l1_weight * l1_loss(
             output, target
         )

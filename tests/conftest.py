@@ -16,8 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 # Persistent compile cache: repeat suite runs skip recompilation (the
-# dominant cost of the suite on this 1-vCPU box). Shared with the CLI
-# subprocess tests via the same default in utils/runtime.setup().
+# dominant cost of the suite on this 1-vCPU box). The CLI subprocess
+# tests keep their own cache (.jax_cache_cli, tests/test_cli.py).
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache_tests"),
