@@ -55,12 +55,12 @@ def stream_chain(chain, x: np.ndarray, chunk: int = 262144,
             labels = np.asarray(chain.detect(probe))[0]
         else:
             labels = np.ones(5, np.float32)
-        # inference_use_all_effect_models parity with _run_staged /
-        # _chain_fn (reference remfx/models.py:65-78): apply every stage
-        # regardless of what the classifier detected
-        if getattr(chain, "use_all_effect_models", False):
-            labels = np.ones_like(np.asarray(labels))
     labels = np.asarray(labels, np.float32)
+    # inference_use_all_effect_models parity with _run_staged / _chain_fn
+    # (reference remfx/models.py:65-78): apply every stage regardless of
+    # detected OR caller-provided labels, matching the batch paths
+    if getattr(chain, "use_all_effect_models", False):
+        labels = np.ones_like(labels)
 
     # ---- removal per window, same labels (ONE compile signature) ----
     lab = jnp.asarray(np.tile(labels[None], (1, 1)))

@@ -160,12 +160,9 @@ class ComplexConv(nn.Module):
     def __call__(self, xr, xi):
         pad = tuple((k - 1) // 2 for k in self.kernel)
         cin = xr.shape[-1]
-        if self.transpose:
-            # torch ConvTranspose2d weight (in, out, kh, kw); stored here
-            # as (kh, kw, in, out) in torch tap order
-            kshape = self.kernel + (cin, self.features)
-        else:
-            kshape = self.kernel + (cin, self.features)
+        # (kh, kw, in, out) in torch tap order for both Conv2d and
+        # ConvTranspose2d (the converter permutes torch's layouts here)
+        kshape = self.kernel + (cin, self.features)
         wr = self.param("re_kernel", nn.initializers.lecun_normal(), kshape)
         wi = self.param("im_kernel", nn.initializers.lecun_normal(), kshape)
         if self.use_bias:

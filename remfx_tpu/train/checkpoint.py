@@ -31,11 +31,24 @@ class CheckpointManager:
         return value < self.best if self.mode == "min" else value > self.best
 
     def _save(self, name: str, state):
-        path = self.dir / name
-        if path.exists():
-            shutil.rmtree(path)
-        self._ckptr.save(path, jax.device_get(state))
+        # Crash-safe replace: write beside the live checkpoint, then swap
+        # via renames, so a preemption mid-save (the event auto-resume
+        # exists to survive) never leaves `name` missing or half-written.
+        # Orbax itself finalizes `tmp` atomically, so if `tmp` exists as
+        # a directory it is complete.
+        final = self.dir / name
+        tmp = self.dir / f"{name}.tmp"
+        old = self.dir / f"{name}.old"
+        for p in (tmp, old):
+            if p.exists():
+                shutil.rmtree(p)
+        self._ckptr.save(tmp, jax.device_get(state))
         self._ckptr.wait_until_finished()
+        if final.exists():
+            final.rename(old)
+        tmp.rename(final)
+        if old.exists():
+            shutil.rmtree(old)
 
     def save_last(self, state, step: int):
         self._save("last", state)
@@ -70,8 +83,25 @@ def find_latest_run(logs_dir: str):
     runs = sorted(
         (d for d in root.iterdir() if (d / "last_meta.json").is_file()),
         key=lambda d: d.name,
+        reverse=True,
     )
-    return runs[-1] if runs else None
+    for d in runs:
+        if _repair_last(d):
+            return d
+    return None
+
+
+def _repair_last(run_dir: Path) -> bool:
+    """Finish an interrupted `last` swap (see CheckpointManager._save):
+    prefer a completed `.tmp` (newer), fall back to `.old` (one save
+    stale), and report whether a usable `last` exists."""
+    last = run_dir / "last"
+    if not last.is_dir():
+        for cand in (run_dir / "last.tmp", run_dir / "last.old"):
+            if cand.is_dir():
+                cand.rename(last)
+                break
+    return last.is_dir()
 
 
 def restore_from(path: str, state_like):

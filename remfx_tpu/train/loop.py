@@ -156,7 +156,13 @@ def build_mesh(cfg: dict):
         return None
     from remfx_tpu.parallel import make_mesh
 
-    return make_mesh(dp=devices // tp, tp=tp)
+    avail = jax.devices()
+    if devices > len(avail):
+        raise ValueError(
+            f"trainer.devices={devices} but only {len(avail)} devices present"
+        )
+    # mesh over exactly the requested subset (Lightning 'use N of M')
+    return make_mesh(dp=devices // tp, tp=tp, devices=avail[:devices])
 
 
 def _shard_state(state, mesh):
@@ -284,7 +290,11 @@ def fit(cfg: dict):
     # LR milestone schedule (0.8/0.95 * max_steps) aligned.
     accum = getattr(task, "accumulate_grad_batches", 1)
     step = start_step
-    micro = 0
+    # after a mid-cycle resume the restored optax.MultiSteps may hold a
+    # nonzero mini_step; seed the micro counter from it so `step`
+    # increments exactly when the inner optimizer applies an update
+    mini = getattr(state.opt_state, "mini_step", None)
+    micro = int(mini) % accum if (accum > 1 and mini is not None) else 0
     epoch = 0
     t0 = time.time()
     if cfg.get("profile"):
@@ -330,6 +340,10 @@ def fit(cfg: dict):
             state = restore_from(str(prior / "best"), state)
         else:
             log.warning("no best checkpoint; testing final state")
+    if mesh is not None:
+        # restore() returns host-resident arrays; re-apply the dp/tp
+        # placement before the sharded eval (test() already does this)
+        state = _shard_state(state, mesh)
     test_metrics = evaluate(task, state, datamodule.test_dataloader(), "test",
                             mesh=mesh)
     logger.log_metrics(test_metrics, step)

@@ -92,3 +92,20 @@ def test_fit_multidevice_matches_single(tmp_path):
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(m8["test_SISDR"], m1["test_SISDR"],
                                rtol=2e-3, atol=2e-3)
+
+
+def test_build_mesh_uses_device_subset():
+    """trainer.devices < device_count is a legitimate 'use N of M'
+    request: build_mesh must mesh over exactly N devices instead of
+    crashing on the dp*tp != M check."""
+    from remfx_tpu.train.loop import build_mesh
+
+    assert jax.device_count() >= 8
+    mesh = build_mesh({"trainer": {"devices": 4, "tensor_parallel": 2}})
+    assert dict(mesh.shape) == {"dp": 2, "tp": 2}
+    assert mesh.devices.size == 4
+
+    with pytest.raises(ValueError, match="devices"):
+        build_mesh({"trainer": {"devices": 1024}})
+
+    assert build_mesh({"trainer": {"devices": 1}}) is None

@@ -110,3 +110,26 @@ def test_stream_use_all_effect_models_overrides_detection():
     y, labels = stream_chain(chain, x, chunk=512)
     np.testing.assert_array_equal(labels, np.ones(5, np.float32))
     np.testing.assert_array_equal(chain.seen_labels, np.ones((1, 5), np.float32))
+
+
+def test_stream_use_all_effect_models_overrides_caller_labels():
+    """use_all_effect_models must also override caller-PROVIDED labels,
+    matching ChainInference.forward/_run_staged/_chain_fn (reference
+    remfx/models.py:65-78): batch and streamed outputs must agree for
+    the same configuration and labels."""
+
+    class _Chain:
+        classifier = None
+        use_all_effect_models = True
+
+        def remove(self, x, labels):
+            self.seen_labels = np.asarray(labels)
+            return x, labels
+
+    chain = _Chain()
+    x = np.zeros((1, 512), np.float32)
+    _, labels = stream_chain(chain, x, chunk=512,
+                             labels=np.array([1, 0, 0, 0, 0], np.float32))
+    np.testing.assert_array_equal(labels, np.ones(5, np.float32))
+    np.testing.assert_array_equal(chain.seen_labels,
+                                  np.ones((1, 5), np.float32))

@@ -223,3 +223,84 @@ def test_auto_resume_from_last(tmp_path):
     last = find_latest_run(str(tmp_path))
     meta = _json.loads((last / "last_meta.json").read_text())
     assert meta["step"] == 3, meta
+
+
+def test_find_latest_run_repairs_interrupted_save(tmp_path):
+    """A preemption mid-`last` swap (CheckpointManager._save) must not
+    wedge auto-resume: find_latest_run finishes the swap from the
+    completed `.tmp` (or the one-save-stale `.old`) and skips runs with
+    no usable `last` at all."""
+    from remfx_tpu.train.checkpoint import find_latest_run
+
+    root = tmp_path / "ckpts"
+    # newest run: killed between `last`->`last.old` and `tmp`->`last`
+    r2 = root / "2026-01-02-00-00-00"
+    r2.mkdir(parents=True)
+    (r2 / "last_meta.json").write_text('{"step": 7}')
+    (r2 / "last.tmp").mkdir()
+    (r2 / "last.tmp" / "d").write_text("new")
+    (r2 / "last.old").mkdir()
+    found = find_latest_run(str(tmp_path))
+    assert found == r2
+    assert (r2 / "last" / "d").read_text() == "new"
+    assert not (r2 / "last.tmp").exists()
+
+    # only a stale `.old` survives: still resumable
+    r3 = root / "2026-01-03-00-00-00"
+    r3.mkdir()
+    (r3 / "last_meta.json").write_text('{"step": 9}')
+    (r3 / "last.old").mkdir()
+    (r3 / "last.old" / "d").write_text("old")
+    assert find_latest_run(str(tmp_path)) == r3
+    assert (r3 / "last" / "d").read_text() == "old"
+
+    # meta but no checkpoint directory at all: fall back to older run
+    r4 = root / "2026-01-04-00-00-00"
+    r4.mkdir()
+    (r4 / "last_meta.json").write_text('{"step": 11}')
+    assert find_latest_run(str(tmp_path)) == r3
+
+
+def test_atomic_last_save_layout(tmp_path):
+    """_save leaves exactly `last` (no tmp/old residue) and the previous
+    checkpoint is replaced only after the new one is fully written."""
+    import jax.numpy as jnp
+
+    from remfx_tpu.train.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(str(tmp_path / "run"), monitor="valid_loss")
+    state = {"w": jnp.arange(4, dtype=jnp.float32)}
+    cm.save_last(state, step=1)
+    cm.save_last({"w": jnp.arange(4, dtype=jnp.float32) * 2}, step=2)
+    d = tmp_path / "run"
+    assert (d / "last").is_dir()
+    assert not (d / "last.tmp").exists()
+    assert not (d / "last.old").exists()
+    restored = cm.restore(state, "last")
+    np.testing.assert_allclose(np.asarray(restored["w"]),
+                               np.arange(4, dtype=np.float32) * 2)
+
+
+def test_resume_seeds_micro_from_multisteps_mini_step():
+    """fit()'s micro counter is seeded from the restored MultiSteps
+    mini_step so a mid-accumulation-cycle resume keeps the counted
+    optimizer steps aligned with actual parameter updates."""
+    import jax
+    import jax.numpy as jnp
+
+    from remfx_tpu.models import make_model
+    from remfx_tpu.train.tasks import RemovalTask
+
+    w = make_model("tcn", nblocks=2, channel_width=8, kernel_size=3,
+                   dilation_growth=2)
+    task = RemovalTask(w, max_steps=100, accumulate_grad_batches=2)
+    x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (2, 1, 4096),
+                                jnp.float32)
+    state = task.init_state(jax.random.PRNGKey(1), x)
+    assert int(state.opt_state.mini_step) == 0
+    state, _ = task.train_step(state, (x, 0.5 * x), jax.random.PRNGKey(2))
+    # mid-cycle: one of two micro-batches accumulated
+    assert int(state.opt_state.mini_step) == 1
+    # the loop's seeding expression (train/loop.py)
+    micro = int(getattr(state.opt_state, "mini_step")) % 2
+    assert micro == 1
