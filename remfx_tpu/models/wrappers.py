@@ -15,6 +15,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any
 
+import jax
+
 from remfx_tpu.losses import l1_loss, multi_resolution_stft_loss
 from remfx_tpu.utils.crop import causal_crop
 
@@ -29,10 +31,14 @@ class ModelWrapper:
     takes_train_flag: bool = False
 
     def init(self, key, example_x):
+        # jit: flax init otherwise dispatches op-by-op (90+ s for HDemucs
+        # on one CPU core); compiled init is persistent-cacheable
         rngs = {"params": key, "dropout": key}
         if self.takes_train_flag:
-            return self.module.init(rngs, example_x, False)
-        return self.module.init(rngs, example_x)
+            return jax.jit(self.module.init, static_argnums=2)(
+                rngs, example_x, False
+            )
+        return jax.jit(self.module.init)(rngs, example_x)
 
     def apply(self, variables, x, train: bool = False, rngs=None):
         """-> (output, batch_stats_updates | None)."""

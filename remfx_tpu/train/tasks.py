@@ -235,7 +235,8 @@ class ClassifierTask:
         self.tx = optax.adamw(lr, weight_decay=lr_weight_decay)
 
     def init_state(self, key, example_x) -> TrainState:
-        variables = self.network.init(
+        # jit: op-by-op flax init is pathologically slow on one CPU core
+        variables = jax.jit(self.network.init, static_argnums=2)(
             {"params": key, "dropout": key, "specaugment": key}, example_x, False
         )
         return TrainState.create(

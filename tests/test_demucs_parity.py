@@ -70,7 +70,9 @@ def test_converted_tree_matches_init_structure():
         assert got[k] == want[k], (k, got[k], want[k])
 
 
-@pytest.mark.parametrize("T", [800, 4800])
+@pytest.mark.parametrize(
+    "T", [800, pytest.param(4800, marks=pytest.mark.slow)]
+)
 def test_forward_parity_vs_torch(T):
     """4800 samples -> 300 STFT frames: exercises the BLSTM >200-step
     framing path at the bottleneck; 800 keeps a single frame window."""

@@ -46,6 +46,7 @@ def test_dp_tp_sharded_step(rng):
     assert np.isfinite(float(metrics["train_loss"]))
 
 
+@pytest.mark.slow  # the round driver also runs this exact check out-of-band
 def test_graft_dryrun():
     import __graft_entry__ as g
 

@@ -37,7 +37,7 @@ def test_trained_tcn_loads_and_denoises():
         effect_overrides=hp["effects"],
     )
     rng = np.random.default_rng(0)
-    T = 65536
+    T = 32768  # ~4x the TCN receptive field; enough post-crop signal
     clean = jnp.asarray(np.stack(
         [synthetic_chunk(rng, T, 48000) for _ in range(4)]))
     dry, wet, _, _ = renderer.render_batch(jax.random.PRNGKey(3), clean)
