@@ -4,6 +4,7 @@ from remfx_tpu.parallel.mesh import (
     shard_batch,
     shard_params_channels,
     shard_tcn_params,
+    shard_time,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "shard_batch",
     "shard_params_channels",
     "shard_tcn_params",
+    "shard_time",
 ]

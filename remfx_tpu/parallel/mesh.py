@@ -81,3 +81,20 @@ def shard_params_channels(params, mesh: Mesh, min_channels: int = 16):
     return jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, spec_for(x))), params
     )
+
+
+def shard_time(x, mesh: Mesh, axis: str = "dp"):
+    """Sequence parallelism for long-file inference: shard the trailing
+    (time) axis of ``(B, C, T)`` audio over a mesh axis and let GSPMD
+    insert the halo exchanges around convolutions / STFT framing. With
+    batch 1 (a single long file) the "dp" axis is otherwise idle, so one
+    pod processes the file with each chip holding T/n samples — an
+    alternative to host-side windowing (chain/stream.py) that keeps the
+    crossfade-free exact math of whole-file processing.
+
+    Output of a jitted model applied to a time-sharded input matches the
+    unsharded result to float rounding (tests/test_parallel.py).
+    """
+    ndim = getattr(x, "ndim", None)
+    spec = P(*([None] * (ndim - 1) + [axis]))
+    return jax.device_put(x, NamedSharding(mesh, spec))
