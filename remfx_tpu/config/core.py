@@ -111,7 +111,14 @@ def _parse_value(s: str) -> Any:
     try:
         return ast.literal_eval(low)
     except (ValueError, SyntaxError):
-        return s
+        pass
+    # Hydra-style bracket list with bare words: [distortion,compressor]
+    if low.startswith("[") and low.endswith("]"):
+        inner = low[1:-1].strip()
+        if not inner:
+            return []
+        return [_parse_value(item) for item in inner.split(",")]
+    return low
 
 
 def set_by_path(cfg: dict, path: str, value: Any):

@@ -35,6 +35,11 @@ class ConvBlock(nn.Module):
         x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, name="conv2")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(x)
         x = nn.relu(x)
+        # clamp the window to the input so short clips never pool a
+        # spatial dim to zero size (whose downstream mean is NaN); the
+        # published 262144-sample config (512 frames) is unaffected
+        pool_size = (min(pool_size[0], x.shape[1]),
+                     min(pool_size[1], x.shape[2]))
         if pool_size != (1, 1):
             if pool_type == "avg":
                 x = nn.avg_pool(x, pool_size, strides=pool_size)
@@ -115,7 +120,10 @@ class Cnn14(nn.Module):
         mean = jnp.mean(m, axis=(1, 2), keepdims=True)
         n = m.shape[1] * m.shape[2]
         var = jnp.sum((m - mean) ** 2, axis=(1, 2), keepdims=True) / (n - 1)
-        m = (m - mean) / jnp.sqrt(var)
+        # clamp: a fully-masked/silent clip has var 0 (NaN otherwise);
+        # real spectrograms sit far above the floor, so this is a no-op
+        # for the published config
+        m = (m - mean) / jnp.maximum(jnp.sqrt(var), 1e-6)
 
         def drop(v, rate, idx):
             # functional dropout (setup-style modules can't create inline

@@ -119,6 +119,7 @@ def build_task(cfg: dict):
             sample_rate=cfg["sample_rate"],
             loss_type=m.get("loss_type", "bce"),
             label_smoothing=m.get("label_smoothing", 0.0),
+            gradient_clip_val=cfg["trainer"].get("gradient_clip_val", 10.0),
         )
     wrapper = make_model(m["name"], sample_rate=cfg["sample_rate"],
                          **m.get("network", {}))

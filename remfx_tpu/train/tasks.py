@@ -226,13 +226,19 @@ class ClassifierTask:
         effects=("Reverb", "Chorus", "Delay", "Distortion", "Compressor"),
         loss_type: str = "bce",
         label_smoothing: float = 0.0,
+        gradient_clip_val: float = 10.0,
     ):
         self.network = network
         self.use_mixup = use_mixup
         self.effects = effects
         self.loss_type = loss_type
         self.label_smoothing = label_smoothing
-        self.tx = optax.adamw(lr, weight_decay=lr_weight_decay)
+        # trainer.gradient_clip_val applies to the classifier too
+        # (reference cfg/exp/5-5_full_cls.yaml:59)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(gradient_clip_val),
+            optax.adamw(lr, weight_decay=lr_weight_decay),
+        )
 
     def init_state(self, key, example_x) -> TrainState:
         # jit: op-by-op flax init is pathologically slow on one CPU core

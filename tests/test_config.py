@@ -88,3 +88,19 @@ def test_model_config_registry():
 def test_unknown_experiment_exits():
     with pytest.raises(SystemExit):
         parse_cli(["+exp=not_a_real_experiment"])
+
+
+def test_hydra_style_bare_word_lists():
+    """Hydra accepts `effects_to_remove=[distortion,compressor]` with
+    unquoted words (reference CLI surface); so must parse_cli."""
+    from remfx_tpu.config.core import _parse_value, parse_cli
+
+    assert _parse_value("[distortion]") == ["distortion"]
+    assert _parse_value("[distortion, compressor]") == [
+        "distortion", "compressor"]
+    assert _parse_value("[0,1]") == [0, 1]
+    assert _parse_value("[]") == []
+    cfg = parse_cli(["+exp=5-5_full_cls", "effects_to_remove=[delay]",
+                     "num_removed_effects=[0,1]", "logs_dir=/tmp/x"])
+    assert cfg["effects_to_remove"] == ["delay"]
+    assert cfg["num_removed_effects"] == [0, 1]

@@ -153,3 +153,19 @@ def test_demucs_shapes_and_train(rng):
     state = task.init_state(jax.random.PRNGKey(1), x)
     state2, metrics = task.train_step(state, (x, x * 0.9), jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["train_loss"]))
+
+
+def test_cnn14_short_clip_finite():
+    """Short clips must not pool the time axis to zero size (empty-axis
+    mean -> NaN probs, which silently corrupted accuracy metrics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from remfx_tpu.models import make_cnn14
+
+    net = make_cnn14(num_classes=5, sample_rate=48000)
+    x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (2, 1, 8192),
+                                jnp.float32)
+    v = net.init({"params": jax.random.PRNGKey(1)}, x, False)
+    probs = net.apply(v, x, False)
+    assert bool(jnp.all(jnp.isfinite(probs))), np.asarray(probs)

@@ -56,6 +56,9 @@ def test_classifier_train_smoke(tmp_path):
     cfg["num_removed_effects"] = [0, 2]
     state, metrics = fit(cfg)
     assert "test_avg_acc" in metrics and np.isfinite(metrics["test_avg_acc"])
+    # nan loss once silently passed while probs were nan (short-clip
+    # pooling collapse); keep the loss asserted finite
+    assert np.isfinite(metrics["test_loss"]), metrics
 
 
 def test_wandb_logger_offline_fallback(tmp_path):
@@ -167,6 +170,7 @@ def test_cls_panns_pt_end_to_end(tmp_path):
     cfg["num_removed_effects"] = [0, 1]
     state, metrics = fit(cfg)
     assert "test_avg_acc" in metrics and np.isfinite(metrics["test_avg_acc"])
+    assert np.isfinite(metrics["test_loss"]), metrics
     assert state.batch_stats is None  # head-only params, frozen trunk
 
 
@@ -304,3 +308,35 @@ def test_resume_seeds_micro_from_multisteps_mini_step():
     # the loop's seeding expression (train/loop.py)
     micro = int(getattr(state.opt_state, "mini_step")) % 2
     assert micro == 1
+
+
+def test_classifier_gradient_clip_applied():
+    """The trainer's global-norm clip applies to the classifier optimizer
+    too (reference cfg/exp/5-5_full_cls.yaml:59 sets
+    gradient_clip_val: 10.0). Adam normalizes scale, so the observable
+    effect of a ~0 clip norm is grads drowned by Adam's eps: the step
+    must be orders of magnitude smaller than with a no-op clip."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from remfx_tpu.models import make_cnn14
+    from remfx_tpu.train.tasks import ClassifierTask
+
+    def step_norm(clip):
+        net = make_cnn14(num_classes=5, sample_rate=4800,
+                         model_sample_rate=4800, n_fft=256, hop_length=128,
+                         n_mels=32)
+        task = ClassifierTask(net, lr=1e-2, lr_weight_decay=0.0,
+                              gradient_clip_val=clip)
+        x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (2, 1, 4800),
+                                    jnp.float32)
+        labels = jnp.ones((2, 5), jnp.float32)
+        s0 = task.init_state(jax.random.PRNGKey(1), x)
+        p0 = jax.tree.map(lambda a: a.copy(), s0.params)  # step donates s0
+        s1, _ = task.train_step(s0, (x, labels), jax.random.PRNGKey(2))
+        return float(optax.global_norm(jax.tree.map(lambda a, b: a - b,
+                                                    s1.params, p0)))
+
+    tiny, free = step_norm(1e-12), step_norm(1e12)
+    assert tiny < 1e-3 * free, (tiny, free)
