@@ -96,3 +96,38 @@ def test_regroup_dispatch_matches_single(rng):
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_s),
                                atol=1e-6, rtol=1e-5)
     np.testing.assert_allclose(float(loss_r), float(loss_s), rtol=1e-4)
+
+
+def test_pipeline_chain_matches_staged():
+    """PipelineChain (one stage per device, chain/pipeline.py): streamed
+    windows through per-device stages must match the single-device
+    staged dispatch, including masked passthrough and classifier detect."""
+    from remfx_tpu.chain.pipeline import PipelineChain
+
+    key = jax.random.PRNGKey(0)
+    models = {}
+    for i, name in enumerate(
+        ("RandomPedalboardDistortion", "RandomPedalboardChorus")
+    ):
+        wrapper = make_model("tcn", nblocks=3, channel_width=8,
+                             kernel_size=3, dilation_growth=2)
+        key, sub = jax.random.split(key)
+        variables = wrapper.init(sub, jnp.zeros((1, 1, 4096)))
+        models[name] = (wrapper, variables)
+    chain = ChainInference(models, 48000, dispatch="staged")
+    pipe = PipelineChain(chain, devices=jax.devices())
+    assert len({pipe.stage_device[n] for n in pipe.order}) == 2
+
+    key, kx = jax.random.split(key)
+    windows = [0.1 * jax.random.normal(jax.random.fold_in(kx, i),
+                                       (2, 1, 4096), jnp.float32)
+               for i in range(3)]
+    labels = jnp.asarray([[0, 1, 0, 1, 0], [0, 0, 0, 0, 0]], jnp.float32)
+    got = pipe(windows, labels)
+    assert len(got) == 3
+    for x, (y, lab) in zip(windows, got):
+        # per-window equivalence with the single-device staged dispatch,
+        # including the masked passthrough of example 2 (no effects)
+        y_ref, _ = chain.remove(x, labels)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=1e-6)
