@@ -17,15 +17,19 @@ Timing forces a scalar readback per iteration — on this backend
 
 import json
 import os
+import sys
 import time
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-import jax.numpy as jnp
+from remfx_tpu.utils import runtime  # noqa: E402
+
+# honors REMFX_PLATFORM (e.g. =cpu for local smoke) and sets the
+# per-backend persistent compile cache
+runtime.setup()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 
 def main():
