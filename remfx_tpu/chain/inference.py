@@ -42,6 +42,34 @@ DEFAULT_ORDER = (
 )
 
 
+def masked_stage(wrapper, idx: int):
+    """Pure single-stage chain semantics, shared by every dispatch mode
+    (single/staged/regroup here, stage-per-device in chain/pipeline.py):
+    apply the removal model where ``labels[:, idx] > 0.5``, causal-crop
+    the passthrough branch when the model shortens its output so the
+    batch stays rectangular."""
+
+    def run(variables, y, labels):
+        mask = labels[:, idx] > 0.5
+        out = wrapper.sample(variables, y)
+        if out.shape[-1] < y.shape[-1]:
+            y = causal_crop(y, out.shape[-1])
+        return jnp.where(mask[:, None, None], out, y)
+
+    return run
+
+
+def threshold_detect(net, threshold: float):
+    """Pure classifier -> {0,1} label fn (probs > threshold), shared by
+    all dispatch modes."""
+
+    def run(variables, x):
+        probs = net.apply(variables, x)
+        return (probs > threshold).astype(jnp.float32)
+
+    return run
+
+
 class ChainInference:
     """models: {effect class name: (wrapper, variables)}; classifier:
     (network, variables) or None."""
@@ -83,8 +111,7 @@ class ChainInference:
         def run(model_vars, cls_vars, x, labels):
             if self.classifier is not None:
                 net, _ = self.classifier
-                probs = net.apply(cls_vars, x)
-                labels = (probs > self.threshold).astype(jnp.float32)
+                labels = threshold_detect(net, self.threshold)(cls_vars, x)
             if self.use_all_effect_models:
                 labels = jnp.ones_like(labels)
             y = x
@@ -93,11 +120,7 @@ class ChainInference:
                     continue
                 wrapper, _ = self.models[name]
                 idx = ALL_EFFECTS.index(EFFECT_CLASS_NAMES[name])
-                mask = labels[:, idx] > 0.5
-                out = wrapper.sample(model_vars[name], y)
-                if out.shape[-1] < y.shape[-1]:
-                    y = causal_crop(y, out.shape[-1])
-                y = jnp.where(mask[:, None, None], out, y)
+                y = masked_stage(wrapper, idx)(model_vars[name], y, labels)
             return y, labels
 
         fn = jax.jit(run)
@@ -110,15 +133,7 @@ class ChainInference:
             return self._stage_jits[name]
         wrapper, _ = self.models[name]
         idx = ALL_EFFECTS.index(EFFECT_CLASS_NAMES[name])
-
-        def run(variables, y, labels):
-            mask = labels[:, idx] > 0.5
-            out = wrapper.sample(variables, y)
-            if out.shape[-1] < y.shape[-1]:
-                y = causal_crop(y, out.shape[-1])
-            return jnp.where(mask[:, None, None], out, y)
-
-        fn = jax.jit(run)
+        fn = jax.jit(masked_stage(wrapper, idx))
         self._stage_jits[name] = fn
         return fn
 
@@ -129,10 +144,9 @@ class ChainInference:
         net, cls_vars = self.classifier
         if "classifier" not in self._stage_jits:
             self._stage_jits["classifier"] = jax.jit(
-                lambda v, a: net.apply(v, a)
+                threshold_detect(net, self.threshold)
             )
-        probs = self._stage_jits["classifier"](cls_vars, x)
-        return (probs > self.threshold).astype(jnp.float32)
+        return self._stage_jits["classifier"](cls_vars, x)
 
     def remove(self, x, labels, order=None):
         """Apply the removal stages for the given labels (no classifier
@@ -186,12 +200,17 @@ class ChainInference:
             sel = np.nonzero(lab_host[:, idx] > 0.5)[0]
             if sel.size == 0:
                 # masked modes run (and crop for) every stage in the
-                # order; match their length semantics without computing
-                out_shape = jax.eval_shape(
-                    lambda v, a: wrapper.sample(v, a), variables, y
-                )
-                if out_shape.shape[-1] < y.shape[-1]:
-                    y = causal_crop(y, out_shape.shape[-1])
+                # order; match their length semantics without computing.
+                # The abstract trace depends only on (stage, input shape)
+                # — cache it so empty stages don't re-trace per batch.
+                skey = ("outlen", name, y.shape)
+                if skey not in self._stage_jits:
+                    self._stage_jits[skey] = jax.eval_shape(
+                        lambda v, a: wrapper.sample(v, a), variables, y
+                    ).shape[-1]
+                out_len = self._stage_jits[skey]
+                if out_len < y.shape[-1]:
+                    y = causal_crop(y, out_len)
                 continue
             gi = jnp.asarray(bucketed_indices(sel, max_size=B))
             out = self._sub_fn(name)(variables, jnp.take(y, gi, axis=0))

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from remfx_tpu import ALL_EFFECTS, EFFECT_CLASS_NAMES
-from remfx_tpu.utils.crop import causal_crop
+from remfx_tpu.chain.inference import masked_stage, threshold_detect
 
 
 class PipelineChain:
@@ -57,25 +57,17 @@ class PipelineChain:
         self._jits = {}
 
     def _stage(self, name):
+        # stage semantics come from chain/inference.py's shared builders
+        # so every dispatch mode (single/staged/regroup/pp) stays in sync
         if name in self._jits:
             return self._jits[name]
         if name == "classifier":
             net, _ = self.chain.classifier
-            thr = self.chain.threshold
-
-            def run(v, x):
-                probs = net.apply(v, x)
-                return (probs > thr).astype(jnp.float32)
+            run = threshold_detect(net, self.chain.threshold)
         else:
             wrapper, _ = self.chain.models[name]
             idx = ALL_EFFECTS.index(EFFECT_CLASS_NAMES[name])
-
-            def run(v, y, labels):
-                mask = labels[:, idx] > 0.5
-                out = wrapper.sample(v, y)
-                if out.shape[-1] < y.shape[-1]:
-                    y = causal_crop(y, out.shape[-1])
-                return jnp.where(mask[:, None, None], out, y)
+            run = masked_stage(wrapper, idx)
 
         fn = jax.jit(run)
         self._jits[name] = fn

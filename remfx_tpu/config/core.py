@@ -112,12 +112,24 @@ def _parse_value(s: str) -> Any:
         return ast.literal_eval(low)
     except (ValueError, SyntaxError):
         pass
-    # Hydra-style bracket list with bare words: [distortion,compressor]
+    # Hydra-style bracket list with bare words: [distortion,compressor],
+    # possibly nested: [[distortion],[chorus,delay]] — split only at
+    # top-level commas so nested lists recurse intact
     if low.startswith("[") and low.endswith("]"):
         inner = low[1:-1].strip()
         if not inner:
             return []
-        return [_parse_value(item) for item in inner.split(",")]
+        items, depth, start = [], 0, 0
+        for i, ch in enumerate(inner):
+            if ch in "[(":
+                depth += 1
+            elif ch in "])":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                items.append(inner[start:i])
+                start = i + 1
+        items.append(inner[start:])
+        return [_parse_value(item) for item in items]
     return low
 
 

@@ -11,6 +11,7 @@ no hand-written communication.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -95,6 +96,6 @@ def shard_time(x, mesh: Mesh, axis: str = "dp"):
     Output of a jitted model applied to a time-sharded input matches the
     unsharded result to float rounding (tests/test_parallel.py).
     """
-    ndim = getattr(x, "ndim", None)
-    spec = P(*([None] * (ndim - 1) + [axis]))
+    x = jnp.asarray(x)
+    spec = P(*([None] * (x.ndim - 1) + [axis]))
     return jax.device_put(x, NamedSharding(mesh, spec))

@@ -50,9 +50,11 @@ class CheckpointManager:
         if old.exists():
             shutil.rmtree(old)
 
-    def save_last(self, state, step: int):
+    def save_last(self, state, step: int, epoch: int = 0):
         self._save("last", state)
-        (self.dir / "last_meta.json").write_text(json.dumps({"step": step}))
+        (self.dir / "last_meta.json").write_text(
+            json.dumps({"step": step, "epoch": epoch})
+        )
 
     def maybe_save_best(self, state, metrics: dict, step: int) -> bool:
         if self.monitor not in metrics:

@@ -185,12 +185,20 @@ def _shard(batch, mesh, strict=True):
     B = batch[0].shape[0]
     dp = mesh.shape["dp"]
     if B % dp:
-        if strict:
-            raise ValueError(
-                f"batch size {B} not divisible by dp={dp} "
-                "(trainer.devices / trainer.tensor_parallel)"
-            )
-        # eval batches may be smaller than the mesh — replicate instead
+        if strict and B >= dp:
+            # ragged tail batch of an epoch: drop-last semantics (the
+            # torch DataLoader equivalent) — trim to a dp multiple so
+            # per-device shapes stay static; shuffling rotates which
+            # examples fall in the tail each epoch
+            keep = (B // dp) * dp
+            if not getattr(_shard, "_warned_trim", False):
+                _shard._warned_trim = True
+                log.warning(
+                    "trimming ragged batch %d -> %d (dp=%d, drop-last)",
+                    B, keep, dp,
+                )
+            return shard_batch(tuple(x[:keep] for x in batch), mesh)
+        # batches smaller than the mesh — replicate instead
         return replicate(batch, mesh)
     return shard_batch(batch, mesh)
 
@@ -243,6 +251,7 @@ def fit(cfg: dict):
     key, k_init = jrandom.split(key)
     state = task.init_state(k_init, x0)
     start_step = 0
+    start_epoch = 0
     resume_best = None
     prior = None
     if cfg.get("ckpt_path"):
@@ -255,12 +264,14 @@ def fit(cfg: dict):
         prior = find_latest_run(cfg["logs_dir"])
         if prior is not None:
             state = restore_from(str(prior / "last"), state)
-            start_step = json.loads(
-                (prior / "last_meta.json").read_text()).get("step", 0)
+            meta = json.loads((prior / "last_meta.json").read_text())
+            start_step = meta.get("step", 0)
+            start_epoch = meta.get("epoch", 0)
             bm = prior / "best_meta.json"
             if bm.is_file():
                 resume_best = json.loads(bm.read_text())
-            log.info("auto-resumed from %s at step %d", prior, start_step)
+            log.info("auto-resumed from %s at step %d epoch %d",
+                     prior, start_step, start_epoch)
     mesh = build_mesh(cfg)
     if mesh is not None:
         state = _shard_state(state, mesh)
@@ -296,7 +307,9 @@ def fit(cfg: dict):
     # increments exactly when the inner optimizer applies an update
     mini = getattr(state.opt_state, "mini_step", None)
     micro = int(mini) % accum if (accum > 1 and mini is not None) else 0
-    epoch = 0
+    # epoch resumes too, so max_epochs bounds TOTAL epochs across
+    # preemptions (Lightning semantics), not per-process epochs
+    epoch = start_epoch
     t0 = time.time()
     if cfg.get("profile"):
         # first-class jax.profiler trace capture (SURVEY §5.1 upgrade)
@@ -327,7 +340,7 @@ def fit(cfg: dict):
         log.info("epoch %d step %d: %s", epoch, step,
                  {k: round(v, 4) for k, v in val_metrics.items()})
         ckpts.maybe_save_best(state, val_metrics, step)
-        ckpts.save_last(state, step)
+        ckpts.save_last(state, step, epoch)
 
     if cfg.get("profile"):
         jax.profiler.stop_trace()

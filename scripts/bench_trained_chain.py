@@ -68,7 +68,12 @@ def main():
         assert name == eff, f"{d} was trained for {name}, not {eff}"
         models[class_for[eff]] = (wrapper, variables)
         effect_names.append(eff)
-        overrides = eff_cfg or overrides  # dataset-cfg param ranges
+        # merge per-effect: each checkpoint dictates the param ranges for
+        # ITS OWN effect; other effects' entries in its cfg only fill
+        # gaps (so two ckpts trained on different ranges coexist)
+        for k, v in (eff_cfg or {}).items():
+            if k == eff or k not in overrides:
+                overrides[k] = v
         print(f"loaded {eff} <- {d}", file=sys.stderr)
 
     # render a synthetic eval batch with exactly the trained effects

@@ -104,3 +104,7 @@ def test_hydra_style_bare_word_lists():
                      "num_removed_effects=[0,1]", "logs_dir=/tmp/x"])
     assert cfg["effects_to_remove"] == ["delay"]
     assert cfg["num_removed_effects"] == [0, 1]
+    # nested bare-word lists split only at top-level commas
+    assert _parse_value("[[distortion],[chorus,delay]]") == [
+        ["distortion"], ["chorus", "delay"]]
+    assert _parse_value("[(0,1),(2,3)]") == [(0, 1), (2, 3)]

@@ -138,3 +138,27 @@ def test_sequence_parallel_inference_exact():
         # same math; halo-exchange partials reassociate float rounding
         np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_sp),
                                    atol=1e-6, err_msg=name)
+
+
+def test_shard_ragged_tail_batch_trims():
+    """A ragged end-of-epoch batch must not crash multi-device training:
+    strict sharding trims to the largest dp multiple (drop-last), and
+    batches smaller than dp replicate (review r2 finding)."""
+    from remfx_tpu.train.loop import _shard
+
+    mesh = make_mesh(dp=8, tp=1)
+    x = jnp.ones((11, 1, 64))
+    y = jnp.zeros((11, 1, 64))
+    bx, by = _shard((x, y), mesh, strict=True)
+    assert bx.shape[0] == 8 and by.shape[0] == 8
+
+    tiny = _shard((jnp.ones((3, 1, 64)),), mesh, strict=True)[0]
+    assert tiny.shape[0] == 3  # replicated, not trimmed to zero
+
+
+def test_shard_time_accepts_non_arrays():
+    from remfx_tpu.parallel import make_mesh, shard_time
+
+    mesh = make_mesh(dp=8, tp=1)
+    out = shard_time([[list(range(16))]], mesh)
+    assert out.shape == (1, 1, 16)

@@ -227,6 +227,10 @@ def test_auto_resume_from_last(tmp_path):
     last = find_latest_run(str(tmp_path))
     meta = _json.loads((last / "last_meta.json").read_text())
     assert meta["step"] == 3, meta
+    # epoch persists across preemptions so max_epochs bounds TOTAL epochs:
+    # run 1 ended at epoch 1, the resume starts there, not at 0
+    assert any("auto-resumed" in m and "epoch 1" in m for m in records), records
+    assert meta["epoch"] == 2, meta
 
 
 def test_find_latest_run_repairs_interrupted_save(tmp_path):
