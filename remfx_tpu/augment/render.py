@@ -198,8 +198,11 @@ class EffectChainRenderer:
             _, _, (norm_dry, norm_wet), _, wet_labels, tries = carry
             n_removed = jnp.sum(wet_labels)
             dist = multi_resolution_stft_loss(norm_wet[None], norm_dry[None])
+            # tries counts ATTEMPTS (initial render = 1); allow up to
+            # max_redraws re-draws after it, matching the dense path's
+            # `for tries in range(max_redraws)` loop
             return (
-                (tries < self.max_redraws) & (n_removed > 0) & (dist < STFT_THRESH)
+                (tries <= self.max_redraws) & (n_removed > 0) & (dist < STFT_THRESH)
             )
 
         zeros = jnp.zeros((len(ALL_EFFECTS),), jnp.float32)
@@ -220,11 +223,12 @@ class EffectChainRenderer:
         n_cand = len(names)
         k_perm, k_count = jax.random.split(key)
         if shuffle:
-            perms = np.stack(
-                [
-                    np.asarray(jax.random.permutation(k, n_cand))
-                    for k in jax.random.split(k_perm, batch)
-                ]
+            # one vmapped dispatch + one host sync for all B permutations
+            # (a per-example Python loop costs B device round-trips)
+            perms = np.asarray(
+                jax.vmap(lambda k: jax.random.permutation(k, n_cand))(
+                    jax.random.split(k_perm, batch)
+                )
             )
         else:
             perms = np.tile(np.arange(n_cand), (batch, 1))
@@ -287,30 +291,45 @@ class EffectChainRenderer:
         norm_wet = self._normalize_batch(wet)
 
         if self.stft_check and self.effects_to_remove:
+            B = norm_wet.shape[0]
             for tries in range(self.max_redraws):
                 dist = np.asarray(self._mrstft_each(norm_wet, norm_dry))
                 n_removed = wet_labels.sum(axis=1)
                 bad = (dist < STFT_THRESH) & (n_removed > 0)
                 if not bad.any():
                     break
-                # reference quirk #4: re-draw from the already-effected dry
+                # reference quirk #4: re-draw from the already-effected
+                # dry. Only the FAILING examples re-render (pow2-bucketed
+                # sub-batch + scatter, like the slot dispatch above) —
+                # redraws are rare, so the full-batch version paid ~B/n_bad
+                # times the necessary effect rendering per retry.
+                sel = np.nonzero(bad)[0]
+                gi = jnp.asarray(bucketed_indices(sel, max_size=B))
                 kk = jax.random.fold_in(k_redraw, tries)
                 k_keep2, k_rem2 = jax.random.split(kk)
                 dry2, dl2 = self._run_stage_dense(
-                    k_keep2, dry, self.effects_to_keep,
+                    k_keep2, jnp.take(dry, gi, axis=0), self.effects_to_keep,
                     self.shuffle_kept_effects, self.num_kept_effects,
                 )
                 wet2, wl2 = self._run_stage_dense(
                     k_rem2, dry2, self.effects_to_remove,
                     self.shuffle_removed_effects, self.num_removed_effects,
                 )
-                nd2 = self._normalize_batch(dry2)
-                nw2 = self._normalize_batch(wet2)
-                badm = jnp.asarray(bad)[:, None, None]
-                dry = jnp.where(badm, dry2, dry)
-                norm_dry = jnp.where(badm, nd2, norm_dry)
-                norm_wet = jnp.where(badm, nw2, norm_wet)
-                dry_labels = np.where(bad[:, None], dl2, dry_labels)
-                wet_labels = np.where(bad[:, None], wl2, wet_labels)
+                # pad duplicates draw per-POSITION keys inside
+                # _run_stage_dense (different values), so scatter only
+                # the real selection rows — n is a host int, these run
+                # eagerly, and the pow2 bucket already bounds the jitted
+                # signatures upstream
+                n = sel.size
+                sel_j = jnp.asarray(sel)
+                dry = jnp.asarray(dry).at[sel_j].set(dry2[:n])
+                norm_dry = jnp.asarray(norm_dry).at[sel_j].set(
+                    self._normalize_batch(dry2)[:n])
+                norm_wet = jnp.asarray(norm_wet).at[sel_j].set(
+                    self._normalize_batch(wet2)[:n])
+                dry_labels = np.asarray(dry_labels).copy()
+                wet_labels = np.asarray(wet_labels).copy()
+                dry_labels[sel] = np.asarray(dl2)[:n]
+                wet_labels[sel] = np.asarray(wl2)[:n]
 
         return norm_dry, norm_wet, jnp.asarray(dry_labels), jnp.asarray(wet_labels)

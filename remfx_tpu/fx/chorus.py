@@ -54,9 +54,15 @@ def sample_params(key, sample_rate, ranges):
 
 
 def chunk_size(ranges, sample_rate) -> int:
-    """Largest power-of-two chunk strictly below the minimum possible delay."""
+    """Largest power-of-two chunk strictly below the minimum possible delay.
+
+    The chunked renderer is only correct when every tap reads data from a
+    PREVIOUS chunk, i.e. floor(delay) >= W at the LFO trough — so the
+    bound must use the true worst-case factor 1 - 0.5*max_depth (no
+    floor): ranges where it reaches ~0 must be rejected, not silently
+    rendered with stale-zero taps."""
     min_delay_ms = ranges["min_centre_delay_ms"] * max(
-        1.0 - 0.5 * ranges["max_depth"], 0.05
+        1.0 - 0.5 * ranges["max_depth"], 0.0
     )
     min_delay = min_delay_ms / 1000.0 * sample_rate
     w = 1

@@ -80,12 +80,15 @@ def volume_sample_params(key, sample_rate, ranges):
     k1, k2, k3, k4 = jax.random.split(key, 4)
     num_segments = randint(k1, int(ranges["min_segments"]), max_seg)
     alphas = jax.random.uniform(k2, (max_seg,), jnp.float32, 0.0, 10.0)
-    # Dirichlet over the *active* segments: mask inactive alphas to ~0
+    # Dirichlet over the *active* segments, sampled in LOG space
+    # (loggamma + masked softmax — what jax.random.dirichlet does
+    # internally, but with EXACT -inf masking of inactive segments
+    # instead of a tiny alpha, so inactive fractions are exactly 0 and
+    # no renormalization division is needed)
     active = jnp.arange(max_seg) < num_segments
-    alphas = jnp.where(active, jnp.maximum(alphas, 1e-3), 1e-6)
-    fractions = jax.random.dirichlet(k3, alphas)
-    fractions = jnp.where(active, fractions, 0.0)
-    fractions = fractions / jnp.sum(fractions)
+    alphas = jnp.maximum(alphas, 1e-3)
+    logg = jax.random.loggamma(k3, alphas)
+    fractions = jax.nn.softmax(jnp.where(active, logg, -jnp.inf))
     end_gains = jax.random.uniform(
         k4, (max_seg,), jnp.float32, ranges["min_gain_db"], ranges["max_gain_db"]
     )

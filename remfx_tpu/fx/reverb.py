@@ -81,12 +81,18 @@ def tail_samples(max_room_size, sample_rate, tol=1e-6):
     return int(math.ceil(L * math.log(tol) / math.log(fb)))
 
 
-def _bank_response(w, feedback, damp, sample_rate, spread):
-    """(re, im) response of gain * [Σ combs] * Π allpasses at angles w."""
+def bank_response_from_lengths(w, comb_Ls, allpass_Ls, feedback, damp):
+    """(re, im) response of [Σ damped combs] * Π allpasses at angles w.
+
+    The Freeverb core shared by PedalboardReverb (static per-sample-rate
+    lengths) and SoxReverb (room-scale-traced lengths, fx/sox_reverb.py):
+    comb H = z^-L (1 - d z^-1) / ((1 - d z^-1) - fb (1-d) z^-L), allpass
+    H = (1.5 z^-L - 1) / (1 - 0.5 z^-L). Lengths may be python ints or
+    traced scalars — only w * L is formed."""
     Hr = jnp.zeros_like(w)
     Hi = jnp.zeros_like(w)
     cw, sw = jnp.cos(w), jnp.sin(w)
-    for L in comb_lengths(sample_rate, spread):
+    for L in comb_Ls:
         zLr, zLi = jnp.cos(w * L), -jnp.sin(w * L)
         # (1 - d z^-1)
         dr, di_ = 1.0 - damp * cw, damp * sw
@@ -97,12 +103,21 @@ def _bank_response(w, feedback, damp, sample_rate, spread):
         ei = di_ - feedback * (1.0 - damp) * zLi
         cr_, ci_ = cdiv(nr, ni, er, ei)
         Hr, Hi = Hr + cr_, Hi + ci_
-    for L in allpass_lengths(sample_rate, spread):
+    for L in allpass_Ls:
         zLr, zLi = jnp.cos(w * L), -jnp.sin(w * L)
         nr, ni = 1.5 * zLr - 1.0, 1.5 * zLi
         er, ei = 1.0 - 0.5 * zLr, -0.5 * zLi
         ar, ai = cdiv(nr, ni, er, ei)
         Hr, Hi = cmul(Hr, Hi, ar, ai)
+    return Hr, Hi
+
+
+def _bank_response(w, feedback, damp, sample_rate, spread):
+    """(re, im) response of gain * [Σ combs] * Π allpasses at angles w."""
+    Hr, Hi = bank_response_from_lengths(
+        w, comb_lengths(sample_rate, spread),
+        allpass_lengths(sample_rate, spread), feedback, damp,
+    )
     return GAIN * Hr, GAIN * Hi
 
 

@@ -27,7 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from remfx_tpu.fx.base import RandomEffect, uniform
-from remfx_tpu.fx.reverb import ALLPASS_TUNINGS, COMB_TUNINGS
+from remfx_tpu.fx.reverb import (
+    ALLPASS_TUNINGS,
+    COMB_TUNINGS,
+    bank_response_from_lengths,
+)
 from remfx_tpu.ops.fft import cdiv, cmul, irfft_ri, rfft_ri
 
 DEFAULT_RANGES = {
@@ -71,25 +75,14 @@ def _render_fft(x, reverberance, hf_damping, room_scale, pre_delay_ms, wet_dry,
     r = sample_rate / 44100.0 * scale
 
     w = jnp.arange(n_fft // 2 + 1, dtype=jnp.float32) * (2.0 * np.pi / n_fft)
-    Hr = jnp.zeros_like(w)
-    Hi = jnp.zeros_like(w)
-    cw, sw = jnp.cos(w), jnp.sin(w)
-    for L0 in COMB_TUNINGS:
-        L = jnp.round(L0 * r)  # traced length -> angle-domain delay
-        zLr, zLi = jnp.cos(w * L), -jnp.sin(w * L)
-        dr, di_ = 1.0 - damp * cw, damp * sw
-        nr, ni = cmul(zLr, zLi, dr, di_)
-        er = dr - feedback * (1.0 - damp) * zLr
-        ei = di_ - feedback * (1.0 - damp) * zLi
-        cr_, ci_ = cdiv(nr, ni, er, ei)
-        Hr, Hi = Hr + cr_, Hi + ci_
-    for L0 in ALLPASS_TUNINGS:
-        L = jnp.round(L0 * r)
-        zLr, zLi = jnp.cos(w * L), -jnp.sin(w * L)
-        nr, ni = 1.5 * zLr - 1.0, 1.5 * zLi
-        er, ei = 1.0 - 0.5 * zLr, -0.5 * zLi
-        ar, ai = cdiv(nr, ni, er, ei)
-        Hr, Hi = cmul(Hr, Hi, ar, ai)
+    # the Freeverb comb/allpass core is shared with fx/reverb.py; here
+    # the tunings scale with room_scale, so lengths are traced scalars
+    Hr, Hi = bank_response_from_lengths(
+        w,
+        [jnp.round(L0 * r) for L0 in COMB_TUNINGS],
+        [jnp.round(L0 * r) for L0 in ALLPASS_TUNINGS],
+        feedback, damp,
+    )
     # pre-delay + input gain
     D = pre_delay_ms / 1000.0 * sample_rate
     pr, pi = jnp.cos(w * D), -jnp.sin(w * D)

@@ -76,12 +76,16 @@ def integrated_loudness(x: jax.Array, sample_rate: int) -> jax.Array:
         power = jnp.sum(jnp.mean(y**2, axis=-1), axis=0)
         return (-0.691 + 10.0 * jnp.log10(power)).astype(jnp.float32)
     block_len = int(t_g * sample_rate)
-    hop = int(t_g * step * sample_rate)
+    # pyloudnorm starts block j at int(j * 0.1 * sr) — the float product
+    # truncated PER BLOCK, not j * int(0.1 * sr), which drifts ~j/2
+    # samples at rates where 0.1 * sr is fractional (e.g. 11025)
+    starts = (np.arange(num_blocks) * (t_g * step * sample_rate)).astype(
+        np.int64)
     # final block may overrun: zero-pad (== pyloudnorm's truncated slice sum)
-    needed = hop * (num_blocks - 1) + block_len
+    needed = int(starts[-1]) + block_len
     pad = max(0, needed - y.shape[-1])
     yp = jnp.pad(y, [(0, 0), (0, pad)])
-    idx = np.arange(num_blocks)[:, None] * hop + np.arange(block_len)[None, :]
+    idx = starts[:, None] + np.arange(block_len)[None, :]
     blocks = yp[:, idx]  # (C, num_blocks, block_len)
     z = jnp.sum(blocks**2, axis=-1) / (t_g * sample_rate)  # (C, J)
 

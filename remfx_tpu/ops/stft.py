@@ -120,9 +120,8 @@ def _framed_dft_bwd(hop, res, dy):
     T = x2.shape[-1]
     # dx: inverse-project each frame's cotangent then overlap-add
     dframes = jnp.einsum("bcn,ct->bnt", dy, k[:, 0, :], precision=_PREC)
+    # _overlap_add's buffer always covers T, so the slice is exactly T
     dx = _overlap_add(dframes, hop, T)[:, None, :]
-    if dx.shape[-1] < T:  # conv-dropped tail samples get zero gradient
-        dx = jnp.pad(dx, [(0, 0), (0, 0), (0, T - dx.shape[-1])])
     # dk: correlate cotangent with the input frames (exact, cheap einsum)
     xframes = frame(x2[:, 0, :], n_fft, hop)  # (B, n_frames, n_fft)
     dk = jnp.einsum("bcn,bnt->ct", dy, xframes, precision=_PREC)[:, None, :]

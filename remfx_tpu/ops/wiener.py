@@ -137,9 +137,12 @@ def wiener(
         yr = xr[..., None] * mask
         yi = xi[..., None] * mask
     else:
-        norm = jnp.maximum(jnp.sqrt(xr * xr + xi * xi), eps)
-        yr = targets_mag * (xr / norm)[..., None]
-        yi = targets_mag * (xi / norm)[..., None]
+        # upstream seeds with the mixture phase via atan2(im, re); note
+        # atan2(0, 0) = 0, so an exactly-zero mixture bin (digital
+        # silence) seeds EM with (targets_mag, 0), not (0, 0)
+        ang = jnp.arctan2(xi, xr)
+        yr = targets_mag * jnp.cos(ang)[..., None]
+        yi = targets_mag * jnp.sin(ang)[..., None]
     if residual:
         yr = jnp.concatenate([yr, (xr - yr.sum(-1))[..., None]], axis=-1)
         yi = jnp.concatenate([yi, (xi - yi.sum(-1))[..., None]], axis=-1)

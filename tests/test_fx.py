@@ -238,3 +238,30 @@ def test_compressor_batch_render_matches_single(audio):
         p = {k: v[b] for k, v in params.items()}
         y1 = comp_mod.render(xb[b], p, SR)
         np.testing.assert_allclose(np.asarray(yb[b]), np.asarray(y1), atol=1e-5)
+
+
+def test_volume_fractions_never_nan():
+    """Segment fractions must stay finite, non-negative, and sum to 1
+    for every key: the log-space Dirichlet (loggamma + masked softmax)
+    keeps inactive segments at exactly 0 with no 0/0 renormalization
+    hazard even at the small-alpha floor."""
+    from remfx_tpu.fx.dynamics import VOLUME_RANGES, volume_sample_params
+
+    ranges = {**VOLUME_RANGES, "min_segments": 1, "max_segments": 1}
+    keys = jax.random.split(jax.random.PRNGKey(7), 8192)
+    fr = jax.vmap(
+        lambda k: volume_sample_params(k, SR, ranges)["fractions"]
+    )(keys)
+    fr = np.asarray(fr)
+    assert np.isfinite(fr).all()
+    assert (fr >= 0).all()
+    np.testing.assert_allclose(fr.sum(axis=-1), 1.0, rtol=1e-5)
+
+
+def test_chorus_chunk_size_rejects_zero_delay_ranges():
+    """max_depth >= 2 lets the modulated delay reach 0 at the LFO trough;
+    the chunked renderer must reject such ranges, not silently read
+    stale zeros."""
+    with pytest.raises(ValueError, match="chorus"):
+        chorus_mod.chunk_size(
+            {**chorus_mod.DEFAULT_RANGES, "max_depth": 2.0}, SR)

@@ -316,3 +316,30 @@ def test_stft_custom_vjp_matches_autodiff():
     scale = float(jnp.max(jnp.abs(g2)))
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                atol=1e-3 * scale)
+
+
+def test_lufs_fractional_hop_rate(rng):
+    """pyloudnorm starts block j at int(j*0.1*sr) (float product truncated
+    per block), not j*int(0.1*sr). At sr=11025 the two drift ~j/2 samples;
+    the numpy oracle uses the former, so parity here pins the fix."""
+    sr = 11025
+    x = (rng.standard_normal((1, 4 * sr)) * 0.1).astype(np.float32)
+    env = np.linspace(0.2, 1.0, x.shape[-1])[None, :].astype(np.float32)
+    x = x * env
+    ours = float(integrated_loudness(jnp.asarray(x), sr))
+    ref = _numpy_bs1770(x.astype(np.float64), sr)
+    assert abs(ours - ref) < 0.05
+
+
+def test_wiener_zero_mixture_bin_uses_atan2_phase():
+    """atan2(0, 0) = 0 upstream: an exactly-zero mixture bin must seed
+    EM with (targets_mag, 0), not (0, 0)."""
+    from remfx_tpu.ops.wiener import wiener
+
+    F, B, C, S = 4, 1, 2, 2
+    mag = jnp.ones((F, B, C, S), jnp.float32)
+    xr = jnp.zeros((F, B, C), jnp.float32)
+    xi = jnp.zeros((F, B, C), jnp.float32)
+    yr, yi = wiener(mag, xr, xi, niter=0)
+    np.testing.assert_allclose(np.asarray(yr), 1.0)
+    np.testing.assert_allclose(np.asarray(yi), 0.0)
