@@ -153,18 +153,26 @@ class ChunkSource:
         self.chunk_size = int(chunk_size)
         self.sample_rate = int(sample_rate)
         self.synthetic = bool(synthetic) or root is None
+        self.root = root
+        self.mode = mode
         self.files: list[list[str]] = []
         if not self.synthetic:
             self.files = [fl for fl in locate_files(root, mode) if fl]
-            if not self.files:
-                raise FileNotFoundError(
-                    f"no starter datasets under {root!r} for mode={mode!r}; "
-                    "run scripts/download.py or set datamodule.synthetic=true"
-                )
+            # missing source data only matters if a chunk is actually
+            # drawn — eval runs over pre-rendered datasets
+            # (render_files=False) construct the dataset without any
+            # starter audio present, like the reference's glob-only
+            # locate_files (remfx/datasets.py:23-56)
 
     def sample(self, rng: np.random.Generator) -> np.ndarray:
         if self.synthetic:
             return synthetic_chunk(rng, self.chunk_size, self.sample_rate)
+        if not self.files:
+            raise FileNotFoundError(
+                f"no starter datasets under {self.root!r} for "
+                f"mode={self.mode!r}; run scripts/download.py or set "
+                "datamodule.synthetic=true"
+            )
         chunk = None
         while chunk is None:
             dataset = self.files[int(rng.integers(0, len(self.files)))]

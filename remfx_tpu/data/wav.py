@@ -36,6 +36,7 @@ def read_wav(path) -> tuple[np.ndarray, int]:
         body = pos + 8
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", data, body)
+            fmt_body, fmt_size = body, size
         elif cid == b"data":
             raw = data[body : body + size]
         pos = body + size + (size & 1)  # chunks are word-aligned
@@ -43,13 +44,14 @@ def read_wav(path) -> tuple[np.ndarray, int]:
         raise ValueError(f"{path}: missing fmt/data chunk")
     tag, channels, rate, _, block_align, bits = fmt
     if tag == _WAVE_FORMAT_EXTENSIBLE:
-        # SubFormat GUID's first two bytes carry the real format tag.
-        # The fmt chunk is 40 bytes; we re-read the tag from the extension.
-        off = data.find(b"fmt ") + 8 + 24
-        (tag,) = struct.unpack_from("<H", data, off + 2)  # cbSize(2) then ext
-        # Fallback: infer from bit depth if the GUID parse is off.
+        # fmt layout: base(16) + cbSize(2) + validBits(2) + channelMask(4)
+        # puts the SubFormat GUID at body+24; the GUID's FIRST two bytes
+        # carry the real format tag (PCM/float GUIDs differ only there).
+        if fmt_size >= 26:
+            (tag,) = struct.unpack_from("<H", data, fmt_body + 24)
+        # Fallback: infer from bit depth if the extension is truncated.
         if tag not in (_WAVE_FORMAT_PCM, _WAVE_FORMAT_IEEE_FLOAT):
-            tag = _WAVE_FORMAT_IEEE_FLOAT if bits == 32 else _WAVE_FORMAT_PCM
+            tag = _WAVE_FORMAT_IEEE_FLOAT if bits in (32, 64) else _WAVE_FORMAT_PCM
 
     if tag == _WAVE_FORMAT_IEEE_FLOAT:
         if bits == 32:

@@ -61,7 +61,9 @@ class EmbeddingClassifier(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if x.ndim == 3:
-            x = x.reshape(x.shape[0], -1)
+            # mono-sum channels like every other audio entry point
+            # (reshape would concatenate channels along time)
+            x = x.sum(axis=1)
         if int(self.sample_rate) != int(self.embed_rate):
             x = resample(x, int(self.sample_rate), int(self.embed_rate))
         emb = jax.lax.stop_gradient(self.embed_fn(x))

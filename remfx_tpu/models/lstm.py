@@ -53,26 +53,31 @@ class LSTM(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         directions = 2 if self.bidirectional else 1
+
+        # torch nn.LSTM resets every parameter (weights AND biases) to
+        # U(-k, k), k = 1/sqrt(hidden_size); flax's uniform(scale) is
+        # one-sided U[0, scale) and would start all gates saturated
+        def u_init(key, shape, dtype=jnp.float32):
+            k = 1.0 / jnp.sqrt(self.hidden_size)
+            return jax.random.uniform(key, shape, dtype, -k, k)
+
         for layer in range(self.num_layers):
             outs = []
             for d in range(directions):
                 sfx = f"_l{layer}" + ("_reverse" if d else "")
                 in_f = x.shape[-1]
                 w_ih = self.param(
-                    f"weight_ih{sfx}",
-                    nn.initializers.uniform(scale=1.0 / jnp.sqrt(self.hidden_size)),
-                    (4 * self.hidden_size, in_f),
+                    f"weight_ih{sfx}", u_init, (4 * self.hidden_size, in_f)
                 )
                 w_hh = self.param(
-                    f"weight_hh{sfx}",
-                    nn.initializers.uniform(scale=1.0 / jnp.sqrt(self.hidden_size)),
+                    f"weight_hh{sfx}", u_init,
                     (4 * self.hidden_size, self.hidden_size),
                 )
                 b_ih = self.param(
-                    f"bias_ih{sfx}", nn.initializers.zeros, (4 * self.hidden_size,)
+                    f"bias_ih{sfx}", u_init, (4 * self.hidden_size,)
                 )
                 b_hh = self.param(
-                    f"bias_hh{sfx}", nn.initializers.zeros, (4 * self.hidden_size,)
+                    f"bias_hh{sfx}", u_init, (4 * self.hidden_size,)
                 )
                 outs.append(_lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse=bool(d)))
             x = jnp.concatenate(outs, axis=-1) if directions == 2 else outs[0]

@@ -9,10 +9,10 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    str(Path(__file__).resolve().parents[1] / ".jax_cache"),
-)
+
+from remfx_tpu.utils import runtime  # noqa: E402
+
+runtime.setup()  # REMFX_PLATFORM override + per-backend compile cache
 
 import jax
 import jax.numpy as jnp
@@ -65,10 +65,9 @@ def main():
             if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
             cls_vars,
         )
-        from remfx_tpu.utils.timing import timeit as t2
 
         fn = jax.jit(lambda v, a: cls.apply(v, a, False))
-        dt, _ = t2(fn, cls_vars, x, iters=5, warmup=2)
+        dt, _ = timeit(fn, cls_vars, x, iters=5, warmup=2)
         print(f"cnn14: {dt*1000:.1f} ms/batch{B} -> RTF {audio_sec/dt:.0f}x")
 
 

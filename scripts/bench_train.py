@@ -10,10 +10,10 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    str(Path(__file__).resolve().parents[1] / ".jax_cache"),
-)
+
+from remfx_tpu.utils import runtime  # noqa: E402
+
+runtime.setup()  # REMFX_PLATFORM override + per-backend compile cache
 
 import jax
 import jax.numpy as jnp

@@ -172,3 +172,93 @@ def test_select_random_chunk_resamples(tmp_path):
     write_wav(tmp_path / "x.wav", loud, 24000)
     chunk = select_random_chunk(rng, tmp_path / "x.wav", CHUNK, SR)
     assert chunk is not None and chunk.shape[-1] == CHUNK
+
+
+def test_read_wav_extensible_formats(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE carries the real format tag in the FIRST
+    two bytes of the SubFormat GUID (offset fmt+24); misreading it sent
+    extensible PCM through the float decoder (garbage audio)."""
+    import struct
+
+    def extensible_wav(samples_bytes, channels, rate, bits, sub_tag):
+        guid_tail = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+        fmt = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, channels, rate,
+            rate * channels * bits // 8, channels * bits // 8, bits,
+            22, bits, (1 << channels) - 1,
+        ) + struct.pack("<H", sub_tag) + guid_tail
+        body = (b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(samples_bytes))
+                + samples_bytes)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    sr = 48000
+    x = (np.sin(np.linspace(0, 20, 480)) * 0.5).astype(np.float32)
+
+    # extensible int16 PCM (sub-format tag 1)
+    pcm = (x * 32767).astype("<i2").tobytes()
+    p = tmp_path / "ext_pcm16.wav"
+    p.write_bytes(extensible_wav(pcm, 1, sr, 16, 1))
+    y, rate = read_wav(p)
+    assert rate == sr and y.shape == (1, 480)
+    np.testing.assert_allclose(y[0], x, atol=1e-3)
+
+    # extensible IEEE float32 (sub-format tag 3)
+    p2 = tmp_path / "ext_f32.wav"
+    p2.write_bytes(extensible_wav(x.astype("<f4").tobytes(), 1, sr, 32, 3))
+    y2, _ = read_wav(p2)
+    np.testing.assert_allclose(y2[0], x, atol=1e-6)
+
+
+def test_chunk_source_lazy_when_only_rendered_data_exists(tmp_path):
+    """Eval over a pre-rendered dataset (render_files=False) must not
+    require starter audio under the root: missing sources only raise
+    when a chunk is actually drawn."""
+    from remfx_tpu.data.sources import ChunkSource
+
+    src = ChunkSource(str(tmp_path), "test", 1024, 48000)  # empty root: ok
+    with pytest.raises(FileNotFoundError, match="starter"):
+        src.sample(np.random.default_rng(0))
+
+
+def test_eval_set_contract_no_starter_audio(tmp_path):
+    """eval.sh contract: a downloaded pre-rendered eval set
+    (render_root=RemFX_eval_datasets, render_files=False,
+    num_removed_effects=[N,N]) must load WITHOUT any starter audio
+    under DATASET_ROOT, routing N-N through the processed-dir key
+    (reference scripts/eval.sh:38 + remfx/datasets.py:370-380)."""
+    from remfx_tpu.data.datasets import EffectDataset, _effects_string
+
+    effects = ["distortion", "compressor", "reverb", "chorus", "delay"]
+    key = _effects_string([], effects, (0, 0), (2, 2))
+    proc = tmp_path / "eval_root" / "processed" / key / "test"
+    sr = 48000
+    for i in range(3):
+        d = proc / str(i)
+        d.mkdir(parents=True)
+        x = (np.sin(np.linspace(0, 10 + i, 4096)) * 0.4).astype(np.float32)
+        write_wav(d / "input.wav", x[None], sr)
+        write_wav(d / "target.wav", x[None] * 0.5, sr)
+        lab = np.zeros(len(ALL_EFFECTS), np.float32)
+        _write_labels(d, lab)
+
+    ds = EffectDataset(
+        root=str(tmp_path / "no_sources_here"),  # no starter data at all
+        sample_rate=sr, chunk_size=4096, total_chunks=3,
+        effects_to_keep=[], effects_to_remove=effects,
+        num_kept_effects=(0, 0), num_removed_effects=(2, 2),
+        shuffle_kept_effects=False, shuffle_removed_effects=True,
+        mode="test", render_files=False,
+        render_root=str(tmp_path / "eval_root"),
+    )
+    assert len(ds) == 3
+    wet, dry, dl, wl = ds[1]
+    assert wet.shape == (1, 4096) and dry.shape == (1, 4096)
+
+
+def _write_labels(d, lab):
+    from remfx_tpu.data.datasets import _save_labels
+
+    _save_labels(d / "dry_effects.pt", lab)
+    _save_labels(d / "wet_effects.pt", lab)

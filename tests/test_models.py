@@ -169,3 +169,32 @@ def test_cnn14_short_clip_finite():
     v = net.init({"params": jax.random.PRNGKey(1)}, x, False)
     probs = net.apply(v, x, False)
     assert bool(jnp.all(jnp.isfinite(probs))), np.asarray(probs)
+
+
+def test_lstm_init_matches_torch_reset_parameters():
+    """torch nn.LSTM inits every weight AND bias to U(-k, k) with
+    k = 1/sqrt(hidden); one-sided or zero inits start all gates
+    saturated and degrade from-scratch training."""
+    m = LSTM(hidden_size=16, num_layers=1)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((4, 2, 8)))
+    k = 1.0 / np.sqrt(16)
+    for name, p in v["params"].items():
+        p = np.asarray(p)
+        assert p.min() < 0 < p.max(), name
+        assert abs(p).max() <= k + 1e-6, name
+        assert abs(p.mean()) < 0.3 * k, name
+
+
+def test_embedding_classifier_mono_sums_stereo():
+    """(B, C, T) input must mono-sum, not concatenate channels in time."""
+    from remfx_tpu.models.embedding_classifiers import EmbeddingClassifier
+
+    net = EmbeddingClassifier(
+        num_classes=5, sample_rate=16000,
+        embed_fn=lambda x: x[:, :8], embed_rate=16000,
+    )
+    stereo = jnp.stack([jnp.ones((2, 64)), -0.5 * jnp.ones((2, 64))], axis=1)
+    v = net.init(jax.random.PRNGKey(0), stereo)
+    out3 = net.apply(v, stereo)
+    out2 = net.apply(v, stereo.sum(axis=1))
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(out2), atol=1e-6)
