@@ -1,8 +1,14 @@
 """Construct a ChainInference system from a chain-experiment config
-(the cfg/exp/remfx_{oracle,detect,all}.yaml surface)."""
+(the cfg/exp/remfx_{oracle,detect,all}.yaml surface).
+
+Missing checkpoints are a hard error by default — a results-producing
+eval must never silently run random-init models (the reference's
+load_state_dict crashes the same way). Set REMFX_ALLOW_RANDOM_CKPT=1
+for smoke/bench runs that intentionally use random weights."""
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import jax
@@ -40,9 +46,15 @@ def build_chain(cfg: dict, example_x) -> ChainInference:
         if ckpt_path and Path(ckpt_path).exists():
             variables = restore_from(ckpt_path, variables)
             log.info("loaded %s from %s", class_name, ckpt_path)
-        else:
+        elif os.environ.get("REMFX_ALLOW_RANDOM_CKPT") == "1":
             log.warning("checkpoint %s missing for %s — using random init",
                         ckpt_path, class_name)
+        else:
+            raise FileNotFoundError(
+                f"checkpoint {ckpt_path} missing for {class_name}; run "
+                "scripts/download_ckpts.sh + compat converters, or set "
+                "REMFX_ALLOW_RANDOM_CKPT=1 for a random-weights smoke run"
+            )
         models[class_name] = (wrapper, variables)
 
     classifier = None
@@ -58,8 +70,13 @@ def build_chain(cfg: dict, example_x) -> ChainInference:
         if ckpt and Path(ckpt).exists():
             cls_vars = restore_from(ckpt, cls_vars)
             log.info("loaded classifier from %s", ckpt)
-        else:
+        elif os.environ.get("REMFX_ALLOW_RANDOM_CKPT") == "1":
             log.warning("classifier ckpt %s missing — using random init", ckpt)
+        else:
+            raise FileNotFoundError(
+                f"classifier checkpoint {ckpt} missing; set "
+                "REMFX_ALLOW_RANDOM_CKPT=1 for a random-weights smoke run"
+            )
         classifier = (net, cls_vars)
 
     from remfx_tpu.chain.inference import DEFAULT_ORDER

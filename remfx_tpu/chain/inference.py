@@ -233,7 +233,14 @@ class ChainInference:
         order = tuple(order) if order is not None else self.effect_order
         if self.dispatch == "regroup":
             output, labels = self._run_regrouped(x, wet_labels, order)
-        elif self.dispatch == "staged":
+        elif self.dispatch == "staged" or (
+            self.dispatch == "single" and self.shuffle_effect_order
+        ):
+            # a shuffled order under "single" would compile a fresh
+            # whole-chain jit per permutation (up to 5! multi-minute
+            # remote compiles across an eval); per-stage jits are
+            # order-independent, so staged dispatch serves shuffled
+            # orders with the same 6 compile units
             output, labels = self._run_staged(x, wet_labels, order)
         else:
             model_vars = {k: v for k, (_, v) in self.models.items()}

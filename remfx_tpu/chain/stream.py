@@ -42,6 +42,13 @@ def stream_chain(chain, x: np.ndarray, chunk: int = 262144,
     import jax.numpy as jnp
 
     C, T = x.shape
+    # overlap only shapes the hop when windowing actually happens;
+    # a short input (T <= chunk) is one zero-padded window regardless
+    if T > chunk and not 0 <= overlap < chunk:
+        raise ValueError(
+            f"overlap={overlap} must satisfy 0 <= overlap < chunk={chunk} "
+            "(hop would be zero/negative and windows would skip audio)"
+        )
     starts = _windows(T, chunk, chunk - overlap)
     frames = np.stack([x[:, s : s + min(chunk, T)] for s in starts])
     if frames.shape[-1] < chunk:
@@ -69,14 +76,24 @@ def stream_chain(chain, x: np.ndarray, chunk: int = 262144,
         y, _ = chain.remove(jnp.asarray(frames[i][None]), lab)
         outs.append(np.asarray(y[0], np.float32))
     out_len = outs[0].shape[-1]  # == chunk for length-preserving models
-
-    if len(starts) == 1:
-        return outs[0][:, : min(T, out_len)], labels
-
-    # ---- crossfade overlap-add ----
     # length-shortening models (valid-conv TCN) causal-crop to the
     # window's TAIL, so each output right-aligns at s + chunk
     shift = chunk - out_len
+
+    if len(starts) == 1:
+        # tail-aligned: output index j is padded-window position
+        # shift + j, so input samples [shift, T) live at out[:, :T-shift]
+        # (head-slicing would return audio shifted by `shift` plus
+        # denoised zero-padding)
+        n = T - shift
+        if n <= 0:
+            raise ValueError(
+                f"input length {T} is shorter than the chain's receptive "
+                f"field ({shift} samples are cropped)"
+            )
+        return outs[0][:, :n], labels
+
+    # ---- crossfade overlap-add ----
     y = np.zeros((C, T), np.float32)
     w = np.zeros((1, T), np.float32)
     ramp = np.linspace(0.0, 1.0, overlap, dtype=np.float32)

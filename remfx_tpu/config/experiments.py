@@ -10,6 +10,8 @@ cfg/exp/remfx_{oracle,detect,all}.yaml.
 
 from __future__ import annotations
 
+import copy
+
 from remfx_tpu.config.core import deep_update
 
 CORE5 = ["distortion", "compressor", "reverb", "chorus", "delay"]
@@ -112,7 +114,9 @@ def _base(model: str | None, **overrides):
         "datamodule": {"train_batch_size": 16, "test_batch_size": 1},
     }
     if model is not None:
-        cfg["model"] = dict(MODEL_CONFIGS[model])
+        # deep copy: dotted CLI overrides must not mutate the global
+        # model registry through the shared nested "network" dict
+        cfg["model"] = copy.deepcopy(MODEL_CONFIGS[model])
     deep_update(cfg, overrides)
     return cfg
 
@@ -190,7 +194,7 @@ def _chain(classifier=False, use_all=False, custom=False, model="demucs",
         effects_to_remove=list(CORE5),
         render_files=False,
     )
-    cfg["dcunet"] = dict(MODEL_CONFIGS["dcunet"])
+    cfg["dcunet"] = copy.deepcopy(MODEL_CONFIGS["dcunet"])
     # chain_inference uses the non-FXAug checkpoints (reference
     # cfg/exp/chain_inference.yaml:48-60); every other chain experiment
     # uses the *_aug ones

@@ -356,6 +356,14 @@ class EffectDatamodule:
         self.seed = int(seed)
         self._epoch = 0
 
+    def set_epoch(self, epoch: int):
+        """Fast-forward the shuffle/render epoch counter (auto-resume:
+        a resumed run must continue the data sequence, not replay
+        epochs 1..N it already consumed)."""
+        self._epoch = int(epoch)
+        if hasattr(self.train_dataset, "set_epoch"):
+            self.train_dataset.set_epoch(self._epoch)
+
     def _iterate(self, dataset, batch_size: int, shuffle: bool):
         n = len(dataset)
         order = np.arange(n)

@@ -50,10 +50,11 @@ class CheckpointManager:
         if old.exists():
             shutil.rmtree(old)
 
-    def save_last(self, state, step: int, epoch: int = 0):
+    def save_last(self, state, step: int, epoch: int = 0,
+                  run_tag: str | None = None):
         self._save("last", state)
         (self.dir / "last_meta.json").write_text(
-            json.dumps({"step": step, "epoch": epoch})
+            json.dumps({"step": step, "epoch": epoch, "run_tag": run_tag})
         )
 
     def maybe_save_best(self, state, metrics: dict, step: int) -> bool:

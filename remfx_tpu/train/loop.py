@@ -221,12 +221,17 @@ def evaluate(task, state, loader, prefix="valid", log_audio_to=None,
         if first and log_audio_to is not None and not isinstance(task, ClassifierTask):
             # AudioCallback parity (reference remfx/callbacks.py:45-83):
             # log [pred, 2 s silence, input, 2 s silence, target]
+            from remfx_tpu.utils.crop import causal_crop
+
             x, y = b
             pred = np.asarray(task.wrapper.sample(task._variables(state), x)[0])
             silence = np.zeros((pred.shape[0], 2 * sample_rate), pred.dtype)
+            # shortened outputs are tail-aligned (wrapper contract):
+            # causal-crop input/target like the loss path, not head-slice
+            xc = np.asarray(causal_crop(x[0], pred.shape[-1]))
+            yc = np.asarray(causal_crop(y[0], pred.shape[-1]))
             concat = np.concatenate(
-                [pred, silence, np.asarray(x[0])[:, : pred.shape[-1]], silence,
-                 np.asarray(y[0])[:, : pred.shape[-1]]], axis=-1
+                [pred, silence, xc, silence, yc], axis=-1
             )
             log_audio_to.log_audio(f"{prefix}_pred_input_target", concat,
                                    sample_rate, step)
@@ -236,6 +241,18 @@ def evaluate(task, state, loader, prefix="valid", log_audio_to=None,
     if f"{prefix}_avg_acc" in out:
         out[f"{prefix}_avg_acc_epoch"] = out[f"{prefix}_avg_acc"]
     return out
+
+
+def _run_tag(cfg: dict) -> str:
+    """Experiment identity stamped into last_meta.json so auto_resume
+    never restores a same-architecture checkpoint from a DIFFERENT
+    experiment that happens to share logs_dir."""
+    m = cfg.get("model") or {}
+    return "|".join([
+        str(m.get("name")), str(m.get("task")),
+        ",".join(sorted(cfg.get("effects_to_remove") or [])),
+        ",".join(sorted(cfg.get("effects_to_keep") or [])),
+    ])
 
 
 def fit(cfg: dict):
@@ -263,8 +280,21 @@ def fit(cfg: dict):
         # counter and best-metric watermark
         prior = find_latest_run(cfg["logs_dir"])
         if prior is not None:
-            state = restore_from(str(prior / "last"), state)
             meta = json.loads((prior / "last_meta.json").read_text())
+            # a run_tag mismatch means the newest ckpt in this logs_dir
+            # belongs to a DIFFERENT experiment (same-architecture
+            # foreign weights would restore without error and skip
+            # training entirely at step >= max_steps)
+            tag = meta.get("run_tag")
+            if tag is not None and tag != _run_tag(cfg):
+                log.warning(
+                    "auto_resume: newest checkpoint %s is from a "
+                    "different run (%s != %s); starting fresh",
+                    prior, tag, _run_tag(cfg),
+                )
+                prior = None
+        if prior is not None:
+            state = restore_from(str(prior / "last"), state)
             start_step = meta.get("step", 0)
             start_epoch = meta.get("epoch", 0)
             bm = prior / "best_meta.json"
@@ -272,6 +302,11 @@ def fit(cfg: dict):
                 resume_best = json.loads(bm.read_text())
             log.info("auto-resumed from %s at step %d epoch %d",
                      prior, start_step, start_epoch)
+            # continue the data sequence instead of replaying epoch 1..N
+            # shuffle orders / dynamic re-renders (+1: the init batch
+            # above already consumed one dataloader call)
+            if hasattr(datamodule, "set_epoch"):
+                datamodule.set_epoch(start_epoch + 1)
     mesh = build_mesh(cfg)
     if mesh is not None:
         state = _shard_state(state, mesh)
@@ -340,7 +375,7 @@ def fit(cfg: dict):
         log.info("epoch %d step %d: %s", epoch, step,
                  {k: round(v, 4) for k, v in val_metrics.items()})
         ckpts.maybe_save_best(state, val_metrics, step)
-        ckpts.save_last(state, step, epoch)
+        ckpts.save_last(state, step, epoch, run_tag=_run_tag(cfg))
 
     if cfg.get("profile"):
         jax.profiler.stop_trace()

@@ -131,3 +131,54 @@ def test_pipeline_chain_matches_staged():
         y_ref, _ = chain.remove(x, labels)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                    atol=1e-6)
+
+
+def test_shuffled_order_uses_stage_jits_not_per_order_chains(rng):
+    """inference_effects_shuffle=True under 'single' dispatch must NOT
+    compile a fresh whole-chain jit per permutation (5! multi-minute
+    remote compiles per eval); it routes through order-independent
+    per-stage jits instead."""
+    import jax
+    import jax.numpy as jnp
+
+    from remfx_tpu.models import make_model
+
+    w = make_model("tcn", nblocks=2, channel_width=4, kernel_size=3,
+                   dilation_growth=2)
+    v = w.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 4096)))
+    chain = ChainInference(
+        {"RandomPedalboardDistortion": (w, v),
+         "RandomPedalboardDelay": (w, v)},
+        sample_rate=48000, shuffle_effect_order=True, dispatch="single",
+    )
+    x = jnp.asarray(rng.standard_normal((2, 1, 4096)), jnp.float32) * 0.1
+    batch = (x, x, jnp.zeros((2, 5)), jnp.ones((2, 5)))
+    chain.test_step(batch)
+    chain.test_step(batch)  # reshuffles the order in place
+    assert not chain._jitted, "per-order whole-chain jits must not grow"
+    assert any(k in chain._stage_jits for k in chain.models)
+
+
+def test_build_chain_missing_ckpt_is_hard_error(tmp_path, monkeypatch):
+    """A results-producing chain eval must never silently run random
+    weights; missing checkpoints raise unless explicitly allowed."""
+    import jax.numpy as jnp
+    import pytest
+
+    from remfx_tpu.chain.build import build_chain
+
+    cfg = {
+        "seed": 0, "sample_rate": 48000, "num_classes": 5,
+        "ckpts": {"RandomPedalboardDistortion": {
+            "model": {"name": "tcn",
+                      "network": {"nblocks": 2, "channel_width": 4,
+                                  "kernel_size": 3, "dilation_growth": 2}},
+            "ckpt_path": str(tmp_path / "nope.ckpt"),
+        }},
+    }
+    monkeypatch.delenv("REMFX_ALLOW_RANDOM_CKPT", raising=False)
+    with pytest.raises(FileNotFoundError, match="REMFX_ALLOW_RANDOM_CKPT"):
+        build_chain(cfg, jnp.zeros((1, 1, 4096)))
+    monkeypatch.setenv("REMFX_ALLOW_RANDOM_CKPT", "1")
+    chain = build_chain(cfg, jnp.zeros((1, 1, 4096)))
+    assert "RandomPedalboardDistortion" in chain.models

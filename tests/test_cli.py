@@ -30,6 +30,7 @@ def _run(args, timeout=900):
         os.environ,
         REMFX_PLATFORM="cpu",
         JAX_PLATFORMS="cpu",
+        REMFX_ALLOW_RANDOM_CKPT="1",  # smoke runs: random init allowed
         JAX_COMPILATION_CACHE_DIR=str(REPO / ".jax_cache_cli"),
         JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5",
     )
@@ -49,7 +50,7 @@ def test_remfx_detect_cli(tmp_path):
         "scripts/remfx_detect.py", "+exp=remfx_detect",
         f"+audio_input={wav_in}", f"+output_path={wav_out}",
         # shrink every removal model to a tiny TCN (ckpts missing ->
-        # random init, like the reference without downloads)
+        # random init, opted in via REMFX_ALLOW_RANDOM_CKPT above)
         "ckpts={'RandomPedalboardDistortion': " + TINY_TCN + ", "
         "'RandomPedalboardReverb': " + TINY_TCN + "}",
     ])

@@ -108,3 +108,16 @@ def test_hydra_style_bare_word_lists():
     assert _parse_value("[[distortion],[chorus,delay]]") == [
         ["distortion"], ["chorus", "delay"]]
     assert _parse_value("[(0,1),(2,3)]") == [(0, 1), (2, 3)]
+
+
+def test_cli_overrides_do_not_mutate_model_registry():
+    """Dotted model overrides write through a deep copy: a second
+    parse_cli in the same process must see pristine MODEL_CONFIGS."""
+    from remfx_tpu.config.experiments import MODEL_CONFIGS
+
+    before = MODEL_CONFIGS["dcunet"]["network"].copy()
+    parse_cli(["+exp=reverb", "model.network.architecture=DCUNet-10",
+               "logs_dir=/tmp/x"])
+    assert MODEL_CONFIGS["dcunet"]["network"] == before
+    cfg2 = parse_cli(["+exp=chorus", "logs_dir=/tmp/x"])
+    assert cfg2["model"]["network"].get("architecture") != "DCUNet-10"

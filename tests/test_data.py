@@ -262,3 +262,29 @@ def _write_labels(d, lab):
 
     _save_labels(d / "dry_effects.pt", lab)
     _save_labels(d / "wet_effects.pt", lab)
+
+
+def test_datamodule_set_epoch_continues_sequence():
+    """Auto-resume fast-forwards the datamodule epoch so a resumed run
+    does not replay the shuffle orders of epochs it already consumed."""
+    from remfx_tpu.data.datasets import EffectDatamodule
+
+    class _DS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return (np.float32(i),)
+
+    a = EffectDatamodule(_DS(), _DS(), _DS(), train_batch_size=8,
+                         test_batch_size=8, seed=1)
+    orders_fresh = [np.asarray(next(iter(a.train_dataloader()))[0])
+                    for _ in range(4)]
+
+    b = EffectDatamodule(_DS(), _DS(), _DS(), train_batch_size=8,
+                         test_batch_size=8, seed=1)
+    next(iter(b.train_dataloader()))  # epochs 1..2 consumed pre-preemption
+    next(iter(b.train_dataloader()))
+    b.set_epoch(2)  # resume: continue from epoch 2
+    resumed = np.asarray(next(iter(b.train_dataloader()))[0])
+    np.testing.assert_array_equal(resumed, orders_fresh[2])

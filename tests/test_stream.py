@@ -133,3 +133,42 @@ def test_stream_use_all_effect_models_overrides_caller_labels():
     np.testing.assert_array_equal(labels, np.ones(5, np.float32))
     np.testing.assert_array_equal(chain.seen_labels,
                                   np.ones((1, 5), np.float32))
+
+
+def test_stream_single_window_tail_alignment():
+    """T <= chunk with a length-shortening (causal TCN) model: the
+    returned audio must be the chain's TAIL-aligned output for input
+    samples [shift, T), not a head slice of the padded window (which
+    would be shifted audio plus denoised zero-padding)."""
+    key = jax.random.PRNGKey(1)
+    chunk, T = 2048, 1500
+    chain = _identityish_chain(key, jnp.zeros((1, 1, chunk)),
+                               length_preserving=False)
+    x = np.asarray(
+        0.1 * jax.random.normal(key, (1, T), jnp.float32), np.float32
+    )
+    labels = np.ones(5, np.float32)
+    y, _ = stream_chain(chain, x, chunk=chunk, overlap=256, labels=labels)
+
+    # direct chain on the same zero-padded window (same compile shape)
+    xp = np.pad(x, [(0, 0), (0, chunk - T)])
+    y_direct, _ = chain.remove(jnp.asarray(xp[None]),
+                               jnp.asarray(labels[None]))
+    y_direct = np.asarray(y_direct[0])
+    shift = chunk - y_direct.shape[-1]
+    assert shift > 0, "test needs a shortening model"
+    assert y.shape[-1] == T - shift
+    # output index j == padded-window position shift + j
+    np.testing.assert_allclose(y, y_direct[:, : T - shift], atol=1e-6)
+
+
+def test_stream_rejects_degenerate_overlap():
+    key = jax.random.PRNGKey(2)
+    chain = _identityish_chain(key, jnp.zeros((1, 1, 1024)))
+    x = np.zeros((1, 5000), np.float32)
+    with pytest.raises(ValueError, match="overlap"):
+        stream_chain(chain, x, chunk=1024, overlap=1024,
+                     labels=np.ones(5, np.float32))
+    with pytest.raises(ValueError, match="overlap"):
+        stream_chain(chain, x, chunk=1024, overlap=2048,
+                     labels=np.ones(5, np.float32))

@@ -344,3 +344,40 @@ def test_classifier_gradient_clip_applied():
 
     tiny, free = step_norm(1e-12), step_norm(1e12)
     assert tiny < 1e-3 * free, (tiny, free)
+
+
+def test_auto_resume_skips_foreign_run_tag(tmp_path):
+    """auto_resume must not restore a same-architecture checkpoint from
+    a DIFFERENT experiment sharing logs_dir (it would restore cleanly
+    and skip training at step >= max_steps)."""
+    import logging
+
+    base = [
+        "model.name=tcn",
+        "model.network.nblocks=3", "model.network.channel_width=8",
+        "model.network.kernel_size=3", "model.network.dilation_growth=2",
+        f"logs_dir={tmp_path}",
+    ] + _tiny_overrides()
+    cfg = parse_cli(["+exp=distortion"] + base +
+                    ["trainer.max_steps=2", "trainer.max_epochs=1"])
+    cfg["render_root"] = str(tmp_path / "data")
+    fit(cfg)
+
+    cfg2 = parse_cli(["+exp=chorus", "model=tcn"] + base +
+                     ["trainer.max_steps=1", "trainer.max_epochs=1",
+                      "model.network.nblocks=3",
+                      "model.network.channel_width=8",
+                      "model.network.kernel_size=3",
+                      "model.network.dilation_growth=2",
+                      "trainer.auto_resume=true"])
+    cfg2["render_root"] = str(tmp_path / "data")
+    records = []
+    h = logging.Handler()
+    h.emit = lambda r: records.append(r.getMessage())
+    logging.getLogger("remfx_tpu.train.loop").addHandler(h)
+    try:
+        fit(cfg2)
+    finally:
+        logging.getLogger("remfx_tpu.train.loop").removeHandler(h)
+    assert any("starting fresh" in m for m in records), records
+    assert not any("auto-resumed" in m for m in records), records
