@@ -71,20 +71,24 @@ def make_umx(
     hop_length=512,
     n_channels=1,
     alpha=0.3,
+    hidden_size=512,
     niter=0,
     softmask=False,
     residual=False,
     wiener_win_len=300,
+    identity_init=False,
     **_ignored,
 ) -> ModelWrapper:
     module = UMXSeparator(
         n_fft=n_fft,
         hop_length=hop_length,
         nb_channels=n_channels,
+        hidden_size=hidden_size,
         niter=niter,
         softmask=softmask,
         residual=residual,
         wiener_win_len=wiener_win_len,
+        identity_init=identity_init,
     )
     return ModelWrapper(module, name="umx", takes_train_flag=True)
 

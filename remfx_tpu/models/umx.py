@@ -90,6 +90,12 @@ class OpenUnmix(nn.Module):
     hidden_size: int = 512
     nb_layers: int = 3
     max_bin: int | None = None
+    # near-identity start (training aid, not in upstream): init the
+    # output affine so mask ~= 1 +- 0.1 and the model begins AT the
+    # input baseline (a random mask costs ~5-10 dB SI-SDR that the
+    # optimizer must first claw back); converted torch checkpoints
+    # overwrite these params, so weight-import parity is unaffected
+    identity_init: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -120,8 +126,16 @@ class OpenUnmix(nn.Module):
         h = _Linear(self.nb_bins * C, use_bias=False, name="fc3")(h)
         h = _BatchNorm1d(self.nb_bins * C, name="bn3")(h, train)
         h = h.reshape(T, B, C, self.nb_bins)
-        output_scale = self.param("output_scale", nn.initializers.ones, (self.nb_bins,))
-        output_mean = self.param("output_mean", nn.initializers.zeros, (self.nb_bins,))
+        output_scale = self.param(
+            "output_scale",
+            nn.initializers.constant(0.1 if self.identity_init else 1.0),
+            (self.nb_bins,),
+        )
+        output_mean = self.param(
+            "output_mean",
+            nn.initializers.constant(1.0 if self.identity_init else 0.0),
+            (self.nb_bins,),
+        )
         h = h * output_scale + output_mean
         mask = jax.nn.relu(jnp.transpose(h, (1, 2, 3, 0)))  # (B, C, F, T)
         return mask * mix
@@ -142,14 +156,19 @@ class UMXSeparator(nn.Module):
     n_fft: int = 2048
     hop_length: int = 512
     nb_channels: int = 1
+    hidden_size: int = 512
     niter: int = 0
     softmask: bool = False
     residual: bool = False
     wiener_win_len: int | None = 300
+    identity_init: bool = False
 
     def setup(self):
         self.model = OpenUnmix(
-            nb_bins=self.n_fft // 2 + 1, nb_channels=self.nb_channels
+            nb_bins=self.n_fft // 2 + 1,
+            nb_channels=self.nb_channels,
+            hidden_size=self.hidden_size,
+            identity_init=self.identity_init,
         )
 
     def __call__(self, audio, train: bool = False):

@@ -97,6 +97,31 @@ def test_umx_separator_shapes_and_train(rng):
     assert state2.step == 1
 
 
+def test_umx_identity_init_starts_near_input(rng):
+    """identity_init=True must make the fresh model near-identity (the
+    spectral mask starts ~1), so training begins AT the input SI-SDR
+    baseline instead of 5-10 dB below it."""
+    x = jnp.asarray(rng.standard_normal((1, 1, 8192)).astype(np.float32) * 0.1)
+
+    def rel_err(identity_init):
+        w = make_model("umx", n_fft=512, hop_length=256,
+                       identity_init=identity_init)
+        v = w.init(jax.random.PRNGKey(0), x)
+        y = w.sample(v, x)
+        return float(jnp.linalg.norm(y - x) / jnp.linalg.norm(x))
+
+    assert rel_err(True) < 0.25 < rel_err(False)
+
+
+def test_umx_hidden_size_wired(rng):
+    """model.network.hidden_size must actually size the net (it was
+    silently swallowed by make_umx(**_ignored) once)."""
+    x = jnp.asarray(rng.standard_normal((1, 1, 4096)).astype(np.float32))
+    w = make_model("umx", n_fft=512, hop_length=256, hidden_size=64)
+    v = w.init(jax.random.PRNGKey(0), x)
+    assert v["params"]["model"]["fc1"]["weight"].shape[0] == 64
+
+
 def test_cnn14_output_contract(rng):
     net = make_cnn14(num_classes=5, sample_rate=48000, model_sample_rate=48000,
                      n_fft=512, hop_length=256, n_mels=32)
