@@ -5,6 +5,8 @@ Backbone families mirroring the reference's five removal models
 Constructors are config-driven (the cfg/model/*.yaml surface).
 """
 
+import inspect
+
 from remfx_tpu.models.cnn14 import Cnn14
 from remfx_tpu.models.tcn import TCN
 from remfx_tpu.models.dcunet import DCUNet
@@ -12,6 +14,9 @@ from remfx_tpu.models.demucs import HDemucs
 from remfx_tpu.models.dptnet import DPTNet
 from remfx_tpu.models.umx import OpenUnmix, UMXSeparator
 from remfx_tpu.models.wrappers import ModelWrapper
+from remfx_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
 
 
 def make_tcn(
@@ -101,6 +106,7 @@ def make_dcunet(
     num_bins=1025,
     norm_type="bN",
     gauss_conv=False,
+    identity_init=False,
     **_ignored,
 ) -> ModelWrapper:
     module = DCUNet(
@@ -109,6 +115,7 @@ def make_dcunet(
         fix_length_mode=fix_length_mode,
         norm_type=norm_type,
         gauss_conv=gauss_conv,
+        identity_init=identity_init,
     )
     return ModelWrapper(module, name="dcunet", takes_train_flag=True)
 
@@ -174,7 +181,19 @@ MODEL_REGISTRY = {
 def make_model(name: str, **kwargs) -> ModelWrapper:
     if name not in MODEL_REGISTRY:
         raise ValueError(f"unknown model {name!r}; have {sorted(MODEL_REGISTRY)}")
-    return MODEL_REGISTRY[name](**kwargs)
+    fn = MODEL_REGISTRY[name]
+    # every factory takes **_ignored so reference-YAML surplus keys
+    # don't crash, but a swallowed key is how model.network.hidden_size
+    # once silently sized the wrong net — surface what's dropped
+    named = {
+        p.name
+        for p in inspect.signature(fn).parameters.values()
+        if p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY)
+    }
+    extra = sorted(set(kwargs) - named)
+    if extra:
+        log.warning("model %r ignores network config keys: %s", name, extra)
+    return fn(**kwargs)
 
 
 __all__ = ["TCN", "Cnn14", "ModelWrapper", "make_model", "make_cnn14", "MODEL_REGISTRY"]

@@ -331,6 +331,14 @@ class DCUNet(nn.Module):
     fix_length_mode: str = "pad"
     norm_type: str = "bN"  # asteroid default; "CbN" = complex whitening
     gauss_conv: bool = False  # Gauss 3-mult complex convs (same math)
+    # near-identity start (training aid, NOT in asteroid): adds a
+    # learnable complex bias to the raw mask, init (1.5, 0) so the
+    # bounded mask starts ~tanh(1.5)=0.9+0j and the fresh model passes
+    # audio through instead of scrambling it (a random mask costs
+    # ~5-10 dB SI-SDR the optimizer must claw back first). The param
+    # exists ONLY when the flag is set, so torch-checkpoint import
+    # (identity_init=False) is structurally unchanged.
+    identity_init: bool = False
 
     @property
     def stages(self):
@@ -387,6 +395,13 @@ class DCUNet(nn.Module):
 
         mr = hr[..., 0][:, :F_full, :N_in]
         mi = hi[..., 0][:, :F_full, :N_in]
+        if self.identity_init:
+            mask_bias = self.param(
+                "mask_bias",
+                lambda _k: jnp.array([1.5, 0.0], jnp.float32),
+            )
+            mr = mr + mask_bias[0].astype(mr.dtype)
+            mi = mi + mask_bias[1].astype(mi.dtype)
         # bounded complex mask: tanh(|m|) * m / |m|
         mag = jnp.sqrt(mr * mr + mi * mi + 1e-12)
         scale = jnp.tanh(mag) / mag

@@ -113,6 +113,39 @@ def test_umx_identity_init_starts_near_input(rng):
     assert rel_err(True) < 0.25 < rel_err(False)
 
 
+def test_dcunet_identity_init_starts_near_input(rng):
+    """identity_init=True adds a flag-gated mask bias so the fresh
+    complex mask starts ~tanh(1.5)+0j and audio passes through; without
+    it a random mask fully scrambles the input (rel err ~1)."""
+    x = jnp.asarray(rng.standard_normal((1, 1, 8192)).astype(np.float32) * 0.1)
+
+    def rel_err_and_params(identity_init):
+        w = make_model("dcunet", architecture="Mini-DCUNet-6",
+                       stft_kernel_size=64, identity_init=identity_init)
+        v = w.init(jax.random.PRNGKey(0), x)
+        y = w.sample(v, x)
+        return (float(jnp.linalg.norm(y - x) / jnp.linalg.norm(x)),
+                v["params"])
+
+    err_id, params_id = rel_err_and_params(True)
+    err_rand, params_rand = rel_err_and_params(False)
+    assert err_id < 0.3 < err_rand
+    # the extra param exists ONLY under the flag (torch ckpt import uses
+    # identity_init=False, so its param structure is unchanged)
+    assert "mask_bias" in params_id and "mask_bias" not in params_rand
+
+
+def test_make_model_warns_on_ignored_network_keys(caplog):
+    """A swallowed model.network key once silently sized the wrong net;
+    make_model must surface keys that fall into a factory's catch-all."""
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="remfx_tpu.models"):
+        make_model("tcn", nblocks=2, channel_width=4, kernel_size=3,
+                   dilation_growth=2, hidden_sizee=64)
+    assert any("hidden_sizee" in r.message for r in caplog.records)
+
+
 def test_umx_hidden_size_wired(rng):
     """model.network.hidden_size must actually size the net (it was
     silently swallowed by make_umx(**_ignored) once)."""
