@@ -17,12 +17,41 @@ Timing forces a scalar readback per iteration — on this backend
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from remfx_tpu.utils import runtime  # noqa: E402
+
+
+def _probe_devices(
+    timeout_s: int = int(os.environ.get("REMFX_BENCH_PROBE_TIMEOUT", "180")),
+) -> None:
+    """Fail fast (honest JSON error line) instead of hanging the whole
+    bench when the remote TPU tunnel is down: jax.devices() on a dead
+    axon link blocks indefinitely, so probe it in a killable child."""
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "from remfx_tpu.utils import runtime; runtime.setup(); "
+             "import jax; jax.devices()"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(json.dumps({
+            "metric": "chain_rtf", "value": 0.0,
+            "unit": "audio-sec/sec/chip", "vs_baseline": 0.0,
+            "error": f"device backend unreachable ({type(e).__name__}); "
+                     "TPU tunnel down?",
+        }))
+        sys.exit(1)
+
+
+_probe_devices()
 
 # honors REMFX_PLATFORM (e.g. =cpu for local smoke) and sets the
 # per-backend persistent compile cache
