@@ -114,15 +114,43 @@ def restore_from(path: str, state_like):
     )
 
 
-def load_trained_wrapper(ckpt_dir: str):
-    """Load a vendored trained checkpoint (layout: ``best/`` orbax dir +
-    ``hparams.json`` as written by the train loop, e.g.
+def save_trained_variables(out_dir: str, variables, half_params: bool = True):
+    """Vendor inference variables params-only (``variables/`` orbax dir):
+    dropping the AdamW moments and storing params in bfloat16 cuts a
+    vendored checkpoint ~5x (UMX: 67 MB TrainState -> 13 MB) — the
+    repo carries learning evidence, not resume state. batch_stats stay
+    fp32 (BN running stats are cheap and precision-sensitive)."""
+    import jax.numpy as jnp
+
+    d = Path(out_dir).resolve()  # orbax requires absolute paths
+    d.mkdir(parents=True, exist_ok=True)
+    v = dict(jax.device_get(variables))
+    if half_params and "params" in v:
+        v["params"] = jax.tree.map(
+            lambda a: np.asarray(a, jnp.bfloat16)
+            if getattr(a, "dtype", None) == np.float32 else a,
+            v["params"],
+        )
+    ckptr = ocp.StandardCheckpointer()
+    target = d / "variables"
+    if target.exists():
+        shutil.rmtree(target)
+    ckptr.save(target, v)
+    ckptr.wait_until_finished()
+
+
+def load_trained_wrapper(ckpt_dir: str, **network_overrides):
+    """Load a vendored trained checkpoint (``hparams.json`` + either a
+    params-only ``variables/`` orbax dir (save_trained_variables) or a
+    full TrainState ``best/`` dir as written by the train loop, e.g.
     ``ckpts/tcn_distortion_synth``).
 
     Returns ``(effect_name, wrapper, variables)`` ready for
     ``ChainInference`` / ``wrapper.sample``.  The per-effect checkpoint
     map mirrors the reference's ``cfg.ckpts`` loading
-    (scripts/chain_inference.py:19-27).
+    (scripts/chain_inference.py:19-27).  ``network_overrides`` tweak
+    inference-only module fields (e.g. ``niter=1`` for the UMX
+    Wiener-EM post-filter) without touching the param tree.
     """
     import jax.numpy as jnp
 
@@ -133,20 +161,32 @@ def load_trained_wrapper(ckpt_dir: str):
     hp = json.loads((d / "hparams.json").read_text())
     m = hp["model"]
     tr = hp.get("trainer", {})
-    wrapper = make_model(
-        m["name"], sample_rate=hp["sample_rate"], **m.get("network", {})
-    )
-    task = RemovalTask(
-        wrapper,
-        max_steps=tr.get("max_steps", 100),
-        accumulate_grad_batches=tr.get("accumulate_grad_batches", 1),
-    )
-    x0 = jnp.zeros((1, 1, 16384), jnp.float32)
-    state = task.init_state(jax.random.PRNGKey(0), x0)
-    state = restore_from(str(d / "best"), state)
-    variables = {"params": state.params}
-    if state.batch_stats is not None:
-        variables["batch_stats"] = state.batch_stats
+    net_cfg = dict(m.get("network", {}))
+    net_cfg.update(network_overrides)
+    wrapper = make_model(m["name"], sample_rate=hp["sample_rate"], **net_cfg)
+    if (d / "variables").is_dir():
+        raw = ocp.StandardCheckpointer().restore(
+            (d / "variables").resolve()
+        )
+        # upcast vendored bf16 params back to the fp32 compute dtype
+        variables = dict(raw)
+        variables["params"] = jax.tree.map(
+            lambda a: np.asarray(a, np.float32)
+            if getattr(a, "dtype", None) == jnp.bfloat16 else a,
+            raw["params"],
+        )
+    else:
+        task = RemovalTask(
+            wrapper,
+            max_steps=tr.get("max_steps", 100),
+            accumulate_grad_batches=tr.get("accumulate_grad_batches", 1),
+        )
+        x0 = jnp.zeros((1, 1, 16384), jnp.float32)
+        state = task.init_state(jax.random.PRNGKey(0), x0)
+        state = restore_from(str(d / "best"), state)
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
     effects = hp.get("effects_to_remove") or []
     assert len(effects) == 1, f"expected single-effect ckpt, got {effects}"
     return effects[0], wrapper, variables

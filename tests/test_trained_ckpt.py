@@ -52,3 +52,47 @@ def test_trained_tcn_loads_and_denoises():
     assert out_sisdr > in_sisdr + 1.0, (
         f"trained ckpt no longer denoises: {out_sisdr:.2f} <= {in_sisdr:.2f}"
     )
+
+
+UMX_CKPT = Path(__file__).resolve().parents[1] / "ckpts" / "umx_reverb_synth"
+
+
+@pytest.mark.skipif(not UMX_CKPT.is_dir(), reason="no vendored ckpt")
+def test_trained_umx_reverb_loads_and_dereverbs():
+    """Vendored params-only (bf16) UMX reverb checkpoint: must restore
+    through the variables/ layout and, with the Wiener-EM post-filter
+    (niter=1, the configuration whose held-out test SI-SDR beats the
+    input baseline — BASELINE.md), must improve SI-SDR on a reverbed
+    synthetic batch."""
+    from remfx_tpu.augment.render import EffectChainRenderer
+    from remfx_tpu.data.sources import synthetic_chunk
+    from remfx_tpu.losses import si_sdr
+    from remfx_tpu.train.checkpoint import load_trained_wrapper
+
+    import json
+
+    effect, wrapper, variables = load_trained_wrapper(str(UMX_CKPT), niter=1)
+    assert effect == "reverb"
+    # bf16 round-trip: params restored upcast to fp32
+    assert variables["params"]["model"]["fc1"]["weight"].dtype == np.float32
+
+    hp = json.loads((UMX_CKPT / "hparams.json").read_text())
+    renderer = EffectChainRenderer(
+        48000,
+        effects_to_remove=("reverb",),
+        num_removed_effects=(1, 1),
+        effect_overrides=hp["effects"],
+    )
+    rng = np.random.default_rng(1)
+    T = 65536  # the training chunk size (BiLSTM context)
+    clean = jnp.asarray(np.stack(
+        [synthetic_chunk(rng, T, 48000) for _ in range(4)]))
+    dry, wet, _, _ = renderer.render_batch(jax.random.PRNGKey(5), clean)
+
+    out = wrapper.sample(variables, wet)
+    in_sisdr = float(jnp.mean(si_sdr(wet, dry)))
+    out_sisdr = float(jnp.mean(si_sdr(out, dry)))
+    assert np.isfinite(out_sisdr)
+    assert out_sisdr > in_sisdr, (
+        f"trained ckpt no longer dereverbs: {out_sisdr:.2f} <= {in_sisdr:.2f}"
+    )
