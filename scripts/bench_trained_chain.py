@@ -7,10 +7,11 @@ weights; this pins the two on one system.)
 
 Usage:
     python scripts/bench_trained_chain.py distortion=ckpts/tcn_distortion_synth \
-        [chorus=ckpts/dcunet_chorus_synth ...] [--batch 16]
+        [reverb=ckpts/umx_reverb_synth:niter=1 ...] [--batch 16]
 
-Each ckpt dir is the vendored layout: best/ (orbax) + hparams.json
-(model + trainer cfg as written by the train loop).
+Each ckpt dir is the vendored layout (hparams.json + best/ TrainState or
+params-only variables/); an optional ``:k=v,...`` suffix sets
+inference-only network overrides (e.g. the UMX Wiener-EM post-filter).
 """
 
 import json
@@ -30,11 +31,27 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def load_trained(ckpt_dir: str):
-    """ckpt dir (best/ + hparams.json) -> (effect, wrapper, vars, fx cfg)."""
+def _coerce(v: str):
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    return {"true": True, "false": False}.get(v.lower(), v)
+
+
+def load_trained(spec: str):
+    """``dir[:k=v,...]`` -> (effect, wrapper, vars, fx cfg); the suffix
+    sets inference-only network overrides (e.g. ``niter=1``)."""
     from remfx_tpu.train.checkpoint import load_trained_wrapper
 
-    effect, wrapper, variables = load_trained_wrapper(ckpt_dir)
+    ckpt_dir, _, opts = spec.partition(":")
+    overrides = {}
+    if opts:
+        for kv in opts.split(","):
+            k, v = kv.split("=", 1)
+            overrides[k] = _coerce(v)
+    effect, wrapper, variables = load_trained_wrapper(ckpt_dir, **overrides)
     hp = json.loads((Path(ckpt_dir) / "hparams.json").read_text())
     return effect, wrapper, variables, hp.get("effects", {})
 
