@@ -69,6 +69,9 @@ def default_config() -> dict:
         },
         "logger": "csv",
         "ckpt_path": None,
+        # params-only donor checkpoint for fine-tuning (fresh optimizer/
+        # LR schedule); this framework's addition, no reference analogue
+        "warm_start": None,
     }
 
 

@@ -274,6 +274,16 @@ def fit(cfg: dict):
     if cfg.get("ckpt_path"):
         state = restore_from(cfg["ckpt_path"], state)
         log.info("restored checkpoint from %s", cfg["ckpt_path"])
+    elif cfg.get("warm_start"):
+        # fine-tuning init: take params (+ batch_stats) from a donor
+        # checkpoint but keep a FRESH optimizer/step — unlike ckpt_path,
+        # the restored optax count does not fast-forward the LR milestone
+        # schedule (0.8/0.95 * max_steps) past the whole run
+        donor = restore_from(cfg["warm_start"], state)
+        state = state.replace(
+            params=donor.params, batch_stats=donor.batch_stats
+        )
+        log.info("warm-started params from %s", cfg["warm_start"])
     elif cfg["trainer"].get("auto_resume"):
         # preemption recovery (SURVEY §5.3 upgrade): resume from the
         # newest "last" checkpoint in this logs_dir, keeping the step

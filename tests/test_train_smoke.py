@@ -346,6 +346,55 @@ def test_classifier_gradient_clip_applied():
     assert tiny < 1e-3 * free, (tiny, free)
 
 
+def test_warm_start_params_only(tmp_path):
+    """cfg.warm_start fine-tuning init: donor params are restored but the
+    optimizer/step start fresh, so the LR milestone schedule (keyed on the
+    optax update count) is NOT fast-forwarded past the run — unlike
+    ckpt_path, which restores the full TrainState including step."""
+    import logging
+
+    base = [
+        "+exp=distortion", "model.name=tcn",
+        "model.network.nblocks=3", "model.network.channel_width=8",
+        "model.network.kernel_size=3", "model.network.dilation_growth=2",
+    ] + _tiny_overrides()
+    cfg = parse_cli(base + [f"logs_dir={tmp_path / 'a'}",
+                            "trainer.max_steps=2", "trainer.max_epochs=1"])
+    cfg["render_root"] = str(tmp_path / "data")
+    state1, _ = fit(cfg)
+    best = next((tmp_path / "a" / "ckpts").rglob("best"))
+
+    cfg2 = parse_cli(base + [f"logs_dir={tmp_path / 'b'}",
+                             f"warm_start={best.resolve()}",
+                             "trainer.max_steps=1", "trainer.max_epochs=1",
+                             "render_files=false"])
+    cfg2["render_root"] = str(tmp_path / "data")
+    records = []
+    h = logging.Handler()
+    h.emit = lambda r: records.append(r.getMessage())
+    logging.getLogger("remfx_tpu.train.loop").addHandler(h)
+    try:
+        state2, metrics2 = fit(cfg2)
+    finally:
+        logging.getLogger("remfx_tpu.train.loop").removeHandler(h)
+    assert any("warm-started" in m for m in records), records
+    assert np.isfinite(metrics2["test_loss"])
+    # fresh optimizer: run b performed exactly 1 update from the donor
+    # params — step is 1, not donor_step + 1
+    assert int(state2.step) == 1, int(state2.step)
+    # and it really did start from the donor's weights: one small step
+    # away, not a fresh init (norms differ from a PRNG init by far less)
+    d_donor = float(optax_global_norm_diff(state2.params, state1.params))
+    assert d_donor < 1.0, d_donor
+
+
+def optax_global_norm_diff(p, q):
+    import jax
+    import optax
+
+    return optax.global_norm(jax.tree.map(lambda a, b: a - b, p, q))
+
+
 def test_auto_resume_skips_foreign_run_tag(tmp_path):
     """auto_resume must not restore a same-architecture checkpoint from
     a DIFFERENT experiment sharing logs_dir (it would restore cleanly
