@@ -22,6 +22,29 @@ from remfx_tpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 
+def _load_variables(ckpt_path: str, template, what: str):
+    """Orbax directory OR published torch .ckpt file -> variables.
+
+    A torch file (Zenodo download, reference scripts/download_ckpts.sh)
+    is converted in memory via compat.torch_import and structure-checked
+    against the module's init tree, so `ckpts/demucs_distortion_aug.ckpt`
+    works verbatim as the reference configs write it."""
+    p = Path(ckpt_path)
+    if p.is_file():
+        from remfx_tpu.compat.torch_import import (
+            check_structure,
+            import_torch_checkpoint,
+        )
+
+        kind, variables = import_torch_checkpoint(str(p))
+        check_structure(variables, jax.device_get(template))
+        log.info("imported torch checkpoint %s (%s) for %s", p, kind, what)
+        return jax.tree.map(jnp.asarray, variables)
+    variables = restore_from(str(p), template)
+    log.info("loaded %s from %s", what, p)
+    return variables
+
+
 def build_chain(cfg: dict, example_x) -> ChainInference:
     key = jax.random.PRNGKey(cfg["seed"])
     models = {}
@@ -44,8 +67,7 @@ def build_chain(cfg: dict, example_x) -> ChainInference:
         variables = wrapper.init(sub, example_x)
         ckpt_path = spec.get("ckpt_path")
         if ckpt_path and Path(ckpt_path).exists():
-            variables = restore_from(ckpt_path, variables)
-            log.info("loaded %s from %s", class_name, ckpt_path)
+            variables = _load_variables(ckpt_path, variables, class_name)
         elif os.environ.get("REMFX_ALLOW_RANDOM_CKPT") == "1":
             log.warning("checkpoint %s missing for %s — using random init",
                         ckpt_path, class_name)
@@ -68,8 +90,7 @@ def build_chain(cfg: dict, example_x) -> ChainInference:
         cls_vars = net.init({"params": sub}, example_x, False)
         ckpt = cfg.get("classifier_ckpt")
         if ckpt and Path(ckpt).exists():
-            cls_vars = restore_from(ckpt, cls_vars)
-            log.info("loaded classifier from %s", ckpt)
+            cls_vars = _load_variables(ckpt, cls_vars, "classifier")
         elif os.environ.get("REMFX_ALLOW_RANDOM_CKPT") == "1":
             log.warning("classifier ckpt %s missing — using random init", ckpt)
         else:

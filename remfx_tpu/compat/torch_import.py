@@ -33,7 +33,10 @@ def load_torch_state_dict(path: str) -> dict:
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
     sd = obj.get("state_dict", obj)
-    return {k: np.asarray(v.detach().cpu().numpy()) for k, v in sd.items()}
+    return {
+        k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        for k, v in sd.items()
+    }
 
 
 def strip_prefix(sd: dict, prefixes=("model.model.", "model.", "network.")) -> dict:
@@ -625,3 +628,67 @@ CONVERTERS = {
     "dcunet": convert_dcunet,
     "dptnet": convert_dptnet,
 }
+
+
+def detect_kind(sd: dict) -> str:
+    """Infer the backbone family from a (prefix-stripped) state dict's
+    key fingerprint — filename-independent, so renamed Zenodo downloads
+    still convert (scripts/download_ckpts.sh names are the common case:
+    classifier=Cnn14, dcunet_*, demucs_*)."""
+    keys = set(sd)
+    if any(k.startswith("masker.encoders") for k in keys):
+        return "dcunet"
+    if any(
+        k.startswith(("freq_emb.", "tencoder.", "encoder.", "freq_encoder.",
+                      "time_encoder."))
+        for k in keys
+    ):
+        return "demucs"
+    if any(k.startswith("conv_block1.") for k in keys):
+        return "cnn14"
+    if any(k.startswith("process_blocks.") for k in keys):
+        return "tcn"
+    if any(".mha.in_proj_weight" in k for k in keys):
+        return "dptnet"
+    if any(k.startswith(("lstm.weight_ih_l0", "fc1.weight", "bn1.")) for k in keys):
+        return "umx"
+    raise ValueError(
+        "unrecognized checkpoint family; state-dict keys start with: "
+        + ", ".join(sorted({k.split('.')[0] for k in keys})[:12])
+    )
+
+
+def import_torch_checkpoint(path: str, kind: str | None = None):
+    """torch/Lightning .ckpt file -> (kind, flax variables pytree).
+
+    The one-call import path used by chain building and
+    scripts/convert_ckpts.py: unpickle (torch CPU), strip Lightning
+    wrapper prefixes, detect the backbone family, convert layouts.
+    """
+    sd = strip_prefix(load_torch_state_dict(path))
+    kind = kind or detect_kind(sd)
+    return kind, CONVERTERS[kind](sd)
+
+
+def check_structure(converted, template) -> None:
+    """Fail loudly when a converted tree does not match the module's
+    init structure (the reference's load_state_dict crashes the same
+    way; a silent partial load would eval random weights)."""
+    import jax
+
+    conv_paths = {
+        "/".join(str(getattr(k, "key", k)) for k in p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(converted)[0]
+    }
+    tmpl_paths = {
+        "/".join(str(getattr(k, "key", k)) for k in p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(template)[0]
+    }
+    missing = sorted(tmpl_paths - conv_paths)
+    extra = sorted(conv_paths - tmpl_paths)
+    if missing or extra:
+        raise ValueError(
+            f"converted checkpoint structure mismatch: "
+            f"missing={missing[:8]}{'...' if len(missing) > 8 else ''} "
+            f"extra={extra[:8]}{'...' if len(extra) > 8 else ''}"
+        )

@@ -127,8 +127,11 @@ def asteroid_istft(re, im, kernel_size: int, length: int):
     from remfx_tpu.ops.stft import _overlap_add
 
     K = kernel_size
-    filt = jnp.asarray(_stft_filters(K))  # (2F, K)
     spec = jnp.concatenate([re, im], axis=1)  # (B, 2F, N)
+    # match the caller's compute dtype (see asteroid_stft): f32 filters
+    # would promote the einsum output — and everything downstream of the
+    # decoder — back to f32 under the bf16 inference policy
+    filt = jnp.asarray(_stft_filters(K)).astype(spec.dtype)  # (2F, K)
     frames = jnp.einsum("bcn,ct->bnt", spec, filt,
                         precision=jax.lax.Precision.HIGHEST)
     n_frames = frames.shape[1]

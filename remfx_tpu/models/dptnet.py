@@ -80,7 +80,9 @@ class TorchMHA(nn.Module):
         S, B, _ = x.shape
         qkv = jnp.einsum("sbc,dc->sbd", x, w_in) + b_in
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(S, B, h, d) / np.sqrt(d)
+        # float() keeps the scalar weakly typed: a np.float64 scalar
+        # would promote bf16 activations to f32 for the whole layer
+        q = q.reshape(S, B, h, d) / float(np.sqrt(d))
         k = k.reshape(S, B, h, d)
         v = v.reshape(S, B, h, d)
         att = jax.nn.softmax(jnp.einsum("sbhd,tbhd->bhst", q, k), axis=-1)

@@ -69,9 +69,14 @@ class MelSpectrogram:
         self.fb = melscale_fbanks(n_fft // 2 + 1, n_mels, sample_rate)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        re, im = stft_ri(x, self.n_fft, self.hop_length, jnp.asarray(self.window))
+        # constants follow the caller's compute dtype: f32 filterbank/
+        # window operands would promote the whole downstream CNN to f32
+        # under the bf16 inference policy
+        window = jnp.asarray(self.window).astype(x.dtype)
+        re, im = stft_ri(x, self.n_fft, self.hop_length, window)
         power = re * re + im * im  # |X|^2 directly (self.power == 2.0)
         if self.power != 2.0:
             power = power ** (self.power / 2.0)
-        mel = jnp.einsum("...fn,fm->...mn", power, jnp.asarray(self.fb))
+        mel = jnp.einsum("...fn,fm->...mn", power,
+                         jnp.asarray(self.fb).astype(x.dtype))
         return mel

@@ -53,7 +53,8 @@ def resample(
     length = x.shape[-1]
     xf = x.reshape((-1, 1, length))
     xf = jnp.pad(xf, [(0, 0), (0, 0), (width, width + orig)])
-    k = jnp.asarray(kernels)[:, None, :]  # (new, 1, kw)
+    # kernel follows the caller's compute dtype (bf16 inference stays bf16)
+    k = jnp.asarray(kernels)[:, None, :].astype(x.dtype)  # (new, 1, kw)
     y = jax.lax.conv_general_dilated(
         xf,
         k,

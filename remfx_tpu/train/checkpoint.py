@@ -114,6 +114,16 @@ def restore_from(path: str, state_like):
     )
 
 
+def restore_tree(path: str):
+    """Template-free restore: the checkpoint's raw pytree (numpy
+    leaves). Used by warm_start to lift params/batch_stats out of a
+    donor checkpoint WITHOUT assuming the donor's optimizer structure —
+    a full-TrainState template fails on structure mismatch when the
+    donor trained under a different optax wrapper (e.g. MultiSteps from
+    accumulate_grad_batches>1; round-2 ADVICE low)."""
+    return ocp.StandardCheckpointer().restore(Path(path).resolve())
+
+
 def save_trained_variables(out_dir: str, variables, half_params: bool = True):
     """Vendor inference variables params-only (``variables/`` orbax dir):
     dropping the AdamW moments and storing params in bfloat16 cuts a

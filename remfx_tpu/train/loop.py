@@ -27,6 +27,7 @@ from remfx_tpu.train.checkpoint import (
     CheckpointManager,
     find_latest_run,
     restore_from,
+    restore_tree,
 )
 from remfx_tpu.train.loggers import make_logger
 from remfx_tpu.train.tasks import ClassifierTask, RemovalTask
@@ -274,35 +275,44 @@ def fit(cfg: dict):
     if cfg.get("ckpt_path"):
         state = restore_from(cfg["ckpt_path"], state)
         log.info("restored checkpoint from %s", cfg["ckpt_path"])
-    elif cfg.get("warm_start"):
-        # fine-tuning init: take params (+ batch_stats) from a donor
-        # checkpoint but keep a FRESH optimizer/step — unlike ckpt_path,
-        # the restored optax count does not fast-forward the LR milestone
-        # schedule (0.8/0.95 * max_steps) past the whole run
-        donor = restore_from(cfg["warm_start"], state)
-        state = state.replace(
-            params=donor.params, batch_stats=donor.batch_stats
-        )
-        log.info("warm-started params from %s", cfg["warm_start"])
-    elif cfg["trainer"].get("auto_resume"):
-        # preemption recovery (SURVEY §5.3 upgrade): resume from the
-        # newest "last" checkpoint in this logs_dir, keeping the step
-        # counter and best-metric watermark
-        prior = find_latest_run(cfg["logs_dir"])
-        if prior is not None:
-            meta = json.loads((prior / "last_meta.json").read_text())
-            # a run_tag mismatch means the newest ckpt in this logs_dir
-            # belongs to a DIFFERENT experiment (same-architecture
-            # foreign weights would restore without error and skip
-            # training entirely at step >= max_steps)
-            tag = meta.get("run_tag")
-            if tag is not None and tag != _run_tag(cfg):
-                log.warning(
-                    "auto_resume: newest checkpoint %s is from a "
-                    "different run (%s != %s); starting fresh",
-                    prior, tag, _run_tag(cfg),
-                )
-                prior = None
+    else:
+        meta = None
+        if cfg["trainer"].get("auto_resume"):
+            # preemption recovery (SURVEY §5.3 upgrade): resume from the
+            # newest "last" checkpoint in this logs_dir, keeping the step
+            # counter and best-metric watermark. Checked BEFORE
+            # warm_start: a preempted warm-started fine-tune relaunched
+            # with the same CLI must resume its OWN progress, not
+            # silently re-warm-start from the donor at step 0 (round-2
+            # ADVICE medium)
+            prior = find_latest_run(cfg["logs_dir"])
+            if prior is not None:
+                meta = json.loads((prior / "last_meta.json").read_text())
+                # a run_tag mismatch means the newest ckpt in this
+                # logs_dir belongs to a DIFFERENT experiment (same-
+                # architecture foreign weights would restore without
+                # error and skip training entirely at step >= max_steps)
+                tag = meta.get("run_tag")
+                if tag is not None and tag != _run_tag(cfg):
+                    log.warning(
+                        "auto_resume: newest checkpoint %s is from a "
+                        "different run (%s != %s); starting fresh",
+                        prior, tag, _run_tag(cfg),
+                    )
+                    prior = None
+        if prior is None and cfg.get("warm_start"):
+            # fine-tuning init: take params (+ batch_stats) from a donor
+            # checkpoint but keep a FRESH optimizer/step — unlike
+            # ckpt_path, the restored optax count does not fast-forward
+            # the LR milestone schedule (0.8/0.95 * max_steps) past the
+            # whole run. Template-free restore: the donor's optimizer
+            # structure (e.g. MultiSteps wrapping) need not match ours.
+            donor = restore_tree(cfg["warm_start"])
+            state = state.replace(
+                params=donor["params"],
+                batch_stats=donor.get("batch_stats"),
+            )
+            log.info("warm-started params from %s", cfg["warm_start"])
         if prior is not None:
             state = restore_from(str(prior / "last"), state)
             start_step = meta.get("step", 0)

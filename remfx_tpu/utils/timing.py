@@ -21,12 +21,22 @@ def _sync(out):
     return float(s)  # host readback == real completion barrier
 
 
-def timeit(fn, *args, iters: int = 5, warmup: int = 1, **kwargs):
-    """-> (seconds_per_call, last_sync_value). fn must be jit-compiled or
-    cheap to trace."""
+def timeit(fn, *args, iters: int = 5, warmup: int = 2, repeats: int = 3,
+           **kwargs):
+    """-> (median_seconds_per_call, last_sync_value).
+
+    ``repeats`` independent timed blocks of ``iters`` calls each; the
+    MEDIAN block time is reported so one host-contention hiccup (the
+    round-2 scoreboard collapse: 164x measured, 48x recorded on
+    identical code) cannot poison the headline number.
+    """
     for _ in range(warmup):
         _sync(fn(*args, **kwargs))
-    t0 = time.time()
-    for _ in range(iters):
-        v = _sync(fn(*args, **kwargs))
-    return (time.time() - t0) / iters, v
+    times = []
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        for _ in range(iters):
+            v = _sync(fn(*args, **kwargs))
+        times.append((time.time() - t0) / iters)
+    times.sort()
+    return times[len(times) // 2], v

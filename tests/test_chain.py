@@ -182,3 +182,23 @@ def test_build_chain_missing_ckpt_is_hard_error(tmp_path, monkeypatch):
     monkeypatch.setenv("REMFX_ALLOW_RANDOM_CKPT", "1")
     chain = build_chain(cfg, jnp.zeros((1, 1, 4096)))
     assert "RandomPedalboardDistortion" in chain.models
+
+
+def test_bucket_size_granularity_and_dense_fallback():
+    """Multiple-of-8 buckets; dense fallback (None) past 3/4 of the
+    batch, where gather+scatter costs more than the masked dense stage."""
+    from remfx_tpu.utils.regroup import bucket_size
+
+    assert bucket_size(1, 32) == 8
+    assert bucket_size(8, 32) == 8
+    assert bucket_size(9, 32) == 16
+    assert bucket_size(17, 32) == 24
+    assert bucket_size(24, 32) == 24
+    assert bucket_size(25, 32) is None  # > 0.75 * 32
+    assert bucket_size(32, 32) is None
+    assert bucket_size(3, 4) is None  # tiny batches go dense
+    assert bucket_size(2, 4, granularity=1) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bucket_size(0, 32)

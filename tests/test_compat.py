@@ -128,3 +128,55 @@ def test_umx_converter_roundtrip(rng):
     )
     y1 = net.apply(jax.device_put(out), mag)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+
+def test_detect_kind_fingerprints():
+    """detect_kind recognizes every checkpoint family from state-dict
+    keys alone (filename-independent torch import)."""
+    from remfx_tpu.compat.torch_import import detect_kind
+
+    assert detect_kind({"masker.encoders.0.conv.re_module.weight": 0}) == "dcunet"
+    assert detect_kind({"encoder.0.conv.weight": 0}) == "demucs"
+    assert detect_kind({"tencoder.0.conv.weight": 0}) == "demucs"
+    assert detect_kind({"freq_emb.embedding.weight": 0}) == "demucs"
+    assert detect_kind({"conv_block1.conv1.weight": 0}) == "cnn14"
+    assert detect_kind({"process_blocks.0.conv1.weight": 0}) == "tcn"
+    assert detect_kind({"masker.layers.0.0.mha.in_proj_weight": 0}) == "dptnet"
+    assert detect_kind({"lstm.weight_ih_l0": 0}) == "umx"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        detect_kind({"mystery.weight": 0})
+
+
+def test_import_torch_checkpoint_file(tmp_path):
+    """End-to-end torch .ckpt file -> flax variables: Lightning-style
+    pickle with wrapper prefixes, auto kind detection, structure check
+    against module init."""
+    import jax
+
+    from remfx_tpu.compat.torch_import import (
+        check_structure,
+        import_torch_checkpoint,
+    )
+    from remfx_tpu.models import make_model
+
+    sd = _torch_tcn_state(nblocks=2, width=4, k=3)
+    lightning = {"state_dict": {f"model.model.{k}": v for k, v in sd.items()},
+                 "epoch": 3}
+    p = tmp_path / "tcn_test.ckpt"
+    torch.save(lightning, p)
+
+    kind, variables = import_torch_checkpoint(str(p))
+    assert kind == "tcn"
+    w = make_model("tcn", nblocks=2, channel_width=4, kernel_size=3,
+                   dilation_growth=2)
+    template = w.init(jax.random.PRNGKey(0), jax.numpy.ones((1, 1, 256)))
+    check_structure(variables, jax.device_get(template))
+    # and the structure check really fails on a broken tree
+    broken = {"params": dict(variables["params"])}
+    broken["params"].pop("output")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="structure mismatch"):
+        check_structure(broken, jax.device_get(template))

@@ -430,3 +430,85 @@ def test_auto_resume_skips_foreign_run_tag(tmp_path):
         logging.getLogger("remfx_tpu.train.loop").removeHandler(h)
     assert any("starting fresh" in m for m in records), records
     assert not any("auto-resumed" in m for m in records), records
+
+
+def test_auto_resume_outranks_warm_start(tmp_path):
+    """A preempted warm-started fine-tune relaunched with the SAME CLI
+    (warm_start + auto_resume both set) must resume its own 'last'
+    checkpoint, not silently re-warm-start from the donor at step 0 and
+    lose all fine-tune progress (round-2 ADVICE medium)."""
+    import logging
+
+    base = [
+        "+exp=distortion", "model.name=tcn",
+        "model.network.nblocks=3", "model.network.channel_width=8",
+        "model.network.kernel_size=3", "model.network.dilation_growth=2",
+    ] + _tiny_overrides()
+    cfg = parse_cli(base + [f"logs_dir={tmp_path / 'a'}",
+                            "trainer.max_steps=2", "trainer.max_epochs=1"])
+    cfg["render_root"] = str(tmp_path / "data")
+    fit(cfg)
+    best = next((tmp_path / "a" / "ckpts").rglob("best"))
+
+    ft = base + [f"logs_dir={tmp_path / 'b'}",
+                 f"warm_start={best.resolve()}",
+                 "trainer.auto_resume=true", "render_files=false"]
+
+    def run(extra):
+        c = parse_cli(ft + extra)
+        c["render_root"] = str(tmp_path / "data")
+        records = []
+        h = logging.Handler()
+        h.emit = lambda r: records.append(r.getMessage())
+        logging.getLogger("remfx_tpu.train.loop").addHandler(h)
+        try:
+            state, _ = fit(c)
+        finally:
+            logging.getLogger("remfx_tpu.train.loop").removeHandler(h)
+        return state, records
+
+    # first launch: nothing to resume in logs_dir b -> warm-start
+    _, rec1 = run(["trainer.max_steps=1", "trainer.max_epochs=1"])
+    assert any("warm-started" in m for m in rec1), rec1
+    # relaunch after "preemption" with the same CLI: must resume own last
+    state2, rec2 = run(["trainer.max_steps=2", "trainer.max_epochs=2"])
+    assert any("auto-resumed" in m and "step 1" in m for m in rec2), rec2
+    assert not any("warm-started" in m for m in rec2), rec2
+    assert int(state2.step) == 2, int(state2.step)
+
+
+def test_warm_start_across_optimizer_structures(tmp_path):
+    """warm_start is template-free: a donor trained under
+    accumulate_grad_batches>1 (optax.MultiSteps-wrapped opt_state) must
+    warm-start a run with a plain optimizer — only params/batch_stats
+    are lifted (round-2 ADVICE low)."""
+    import logging
+
+    base = [
+        "+exp=distortion", "model.name=tcn",
+        "model.network.nblocks=3", "model.network.channel_width=8",
+        "model.network.kernel_size=3", "model.network.dilation_growth=2",
+    ] + _tiny_overrides()
+    cfg = parse_cli(base + [f"logs_dir={tmp_path / 'a'}",
+                            "trainer.max_steps=2", "trainer.max_epochs=1",
+                            "trainer.accumulate_grad_batches=2"])
+    cfg["render_root"] = str(tmp_path / "data")
+    fit(cfg)
+    best = next((tmp_path / "a" / "ckpts").rglob("best"))
+
+    cfg2 = parse_cli(base + [f"logs_dir={tmp_path / 'b'}",
+                             f"warm_start={best.resolve()}",
+                             "trainer.max_steps=1", "trainer.max_epochs=1",
+                             "render_files=false"])
+    cfg2["render_root"] = str(tmp_path / "data")
+    records = []
+    h = logging.Handler()
+    h.emit = lambda r: records.append(r.getMessage())
+    logging.getLogger("remfx_tpu.train.loop").addHandler(h)
+    try:
+        state2, metrics2 = fit(cfg2)
+    finally:
+        logging.getLogger("remfx_tpu.train.loop").removeHandler(h)
+    assert any("warm-started" in m for m in records), records
+    assert np.isfinite(metrics2["test_loss"])
+    assert int(state2.step) == 1
