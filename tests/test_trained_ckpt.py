@@ -96,3 +96,53 @@ def test_trained_umx_reverb_loads_and_dereverbs():
     assert out_sisdr > in_sisdr, (
         f"trained ckpt no longer dereverbs: {out_sisdr:.2f} <= {in_sisdr:.2f}"
     )
+
+
+AUG_CKPT = Path(__file__).resolve().parents[1] / "ckpts" / "tcn_distortion_aug"
+
+
+@pytest.mark.skipif(not AUG_CKPT.is_dir(), reason="no vendored ckpt")
+def test_trained_aug_tcn_denoises_with_kept_effect():
+    """FXAug checkpoint (trained with effects_to_keep = the other 4,
+    reference cfg/exp/distortion_aug.yaml): must improve SI-SDR on a
+    distorted batch even when an untreated second effect is present in
+    BOTH dry and wet — the in-distribution scenario chain composition
+    relies on (BASELINE.md "Trained chain composition")."""
+    import json
+
+    from remfx_tpu.augment.render import EffectChainRenderer
+    from remfx_tpu.data.sources import synthetic_chunk
+    from remfx_tpu.losses import si_sdr
+    from remfx_tpu.train.checkpoint import load_trained_wrapper
+    from remfx_tpu.utils.crop import causal_crop
+
+    effect, wrapper, variables = load_trained_wrapper(str(AUG_CKPT))
+    assert effect == "distortion"
+
+    hp = json.loads((AUG_CKPT / "hparams.json").read_text())
+    renderer = EffectChainRenderer(
+        48000,
+        effects_to_keep=tuple(hp["effects_to_keep"]),
+        effects_to_remove=("distortion",),
+        num_kept_effects=(1, 1),
+        num_removed_effects=(1, 1),
+        shuffle_kept_effects=True,
+        effect_overrides=hp["effects"],
+    )
+    rng = np.random.default_rng(7)
+    T = 32768
+    clean = jnp.asarray(np.stack(
+        [synthetic_chunk(rng, T, 48000) for _ in range(4)]))
+    dry, wet, _, _ = renderer.render_batch(jax.random.PRNGKey(11), clean)
+
+    out = wrapper.sample(variables, wet)
+    Tm = out.shape[-1]
+    dry_c = causal_crop(dry, Tm)
+    wet_c = causal_crop(wet, Tm)
+    in_sisdr = float(jnp.mean(si_sdr(wet_c, dry_c)))
+    out_sisdr = float(jnp.mean(si_sdr(out, dry_c)))
+    assert np.isfinite(out_sisdr)
+    assert out_sisdr > in_sisdr + 0.5, (
+        f"aug ckpt no longer denoises with kept effects: "
+        f"{out_sisdr:.2f} <= {in_sisdr:.2f}"
+    )
