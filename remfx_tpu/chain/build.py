@@ -62,10 +62,28 @@ def build_chain(cfg: dict, example_x) -> ChainInference:
             base_name = MODEL_CONFIGS[model_name]["name"]
         else:
             base_name = model_name
+        ckpt_path = spec.get("ckpt_path")
+        if ckpt_path and Path(ckpt_path, "hparams.json").is_file():
+            # vendored in-repo checkpoint (ckpts/<name>/, see
+            # scripts/vendor_ckpt.py): its hparams define the wrapper —
+            # the spec's model entry is superseded so one chain config
+            # can mix Zenodo .ckpt files and vendored trained runs
+            from remfx_tpu import EFFECT_CLASS_NAMES
+            from remfx_tpu.train.checkpoint import load_trained_wrapper
+
+            effect, wrapper, variables = load_trained_wrapper(ckpt_path)
+            want = EFFECT_CLASS_NAMES.get(class_name)
+            if want is not None and effect != want:
+                raise ValueError(
+                    f"vendored ckpt {ckpt_path} removes {effect!r} but is "
+                    f"mapped to {class_name} ({want!r})"
+                )
+            log.info("loaded vendored %s from %s", class_name, ckpt_path)
+            models[class_name] = (wrapper, variables)
+            continue
         wrapper = make_model(base_name, sample_rate=cfg["sample_rate"], **net_cfg)
         key, sub = jax.random.split(key)
         variables = wrapper.init(sub, example_x)
-        ckpt_path = spec.get("ckpt_path")
         if ckpt_path and Path(ckpt_path).exists():
             variables = _load_variables(ckpt_path, variables, class_name)
         elif os.environ.get("REMFX_ALLOW_RANDOM_CKPT") == "1":
@@ -81,6 +99,14 @@ def build_chain(cfg: dict, example_x) -> ChainInference:
 
     classifier = None
     if cfg.get("classifier") is not None:
+        ckpt = cfg.get("classifier_ckpt")
+        if ckpt and Path(ckpt, "hparams.json").is_file():
+            # vendored trained classifier (detect-mode artifact)
+            from remfx_tpu.train.checkpoint import load_trained_classifier
+
+            net, cls_vars = load_trained_classifier(ckpt)
+            log.info("loaded vendored classifier from %s", ckpt)
+            return _finish_chain(cfg, models, (net, cls_vars))
         net = make_cnn14(
             num_classes=cfg["num_classes"],
             sample_rate=cfg["sample_rate"],
@@ -88,7 +114,6 @@ def build_chain(cfg: dict, example_x) -> ChainInference:
         )
         key, sub = jax.random.split(key)
         cls_vars = net.init({"params": sub}, example_x, False)
-        ckpt = cfg.get("classifier_ckpt")
         if ckpt and Path(ckpt).exists():
             cls_vars = _load_variables(ckpt, cls_vars, "classifier")
         elif os.environ.get("REMFX_ALLOW_RANDOM_CKPT") == "1":
@@ -100,6 +125,10 @@ def build_chain(cfg: dict, example_x) -> ChainInference:
             )
         classifier = (net, cls_vars)
 
+    return _finish_chain(cfg, models, classifier)
+
+
+def _finish_chain(cfg: dict, models, classifier) -> ChainInference:
     from remfx_tpu.chain.inference import DEFAULT_ORDER
 
     order = tuple(cfg.get("inference_effects_ordering", ())) or DEFAULT_ORDER

@@ -200,3 +200,32 @@ def load_trained_wrapper(ckpt_dir: str, **network_overrides):
     effects = hp.get("effects_to_remove") or []
     assert len(effects) == 1, f"expected single-effect ckpt, got {effects}"
     return effects[0], wrapper, variables
+
+
+def load_trained_classifier(ckpt_dir: str, **network_overrides):
+    """Load a vendored trained CLASSIFIER checkpoint (same ``ckpts/``
+    layout as load_trained_wrapper but the hparams carry a
+    ``task: classifier`` model config). Returns ``(net, variables)``
+    ready for ``ChainInference(classifier=...)`` — the detect-mode
+    artifact the reference ships as ``classifier.ckpt``
+    (scripts/download_ckpts.sh:8)."""
+    import jax.numpy as jnp
+
+    from remfx_tpu.models import make_cnn14
+
+    d = Path(ckpt_dir)
+    hp = json.loads((d / "hparams.json").read_text())
+    m = hp["model"]
+    assert m.get("task") == "classifier", f"not a classifier ckpt: {ckpt_dir}"
+    net_cfg = dict(m.get("network", {}))
+    net_cfg.update(network_overrides)
+    net = make_cnn14(num_classes=hp.get("num_classes", 5),
+                     sample_rate=hp["sample_rate"], **net_cfg)
+    raw = ocp.StandardCheckpointer().restore((d / "variables").resolve())
+    variables = dict(raw)
+    variables["params"] = jax.tree.map(
+        lambda a: np.asarray(a, np.float32)
+        if getattr(a, "dtype", None) == jnp.bfloat16 else a,
+        raw["params"],
+    )
+    return net, variables
