@@ -256,15 +256,28 @@ class EffectDataset(_RenderedBase):
                          done, self.total_chunks, self.mode)
 
     def __getitem__(self, idx: int):
+        # in-memory cache: rendered datasets are a few hundred MB while
+        # epochs revisit every item; consumers np.stack() copies so the
+        # cached arrays are never mutated. REMFX_DATASET_CACHE=0 disables
+        # (e.g. when training against a dataset larger than host RAM).
+        cache = getattr(self, "_item_cache", None)
+        if cache is None:
+            enabled = os.environ.get("REMFX_DATASET_CACHE", "1") != "0"
+            cache = self._item_cache = {} if enabled else False
+        if cache is not False and idx in cache:
+            return cache[idx]
         d = self.proc_root / str(idx)
         wet, _ = read_wav(d / "input.wav")
         dry, _ = read_wav(d / "target.wav")
-        return (
+        item = (
             wet,
             dry,
             _load_labels(d / "dry_effects.pt"),
             _load_labels(d / "wet_effects.pt"),
         )
+        if cache is not False:
+            cache[idx] = item
+        return item
 
 
 class DynamicEffectDataset(_RenderedBase):
