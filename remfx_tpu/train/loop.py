@@ -395,7 +395,17 @@ def fit(cfg: dict):
         log.info("epoch %d step %d: %s", epoch, step,
                  {k: round(v, 4) for k, v in val_metrics.items()})
         ckpts.maybe_save_best(state, val_metrics, step)
-        ckpts.save_last(state, step, epoch, run_tag=_run_tag(cfg))
+        # save_last moves the FULL TrainState (params + both Adam
+        # moments) host-side per call — ~1 GB for Cnn14 over the remote
+        # device tunnel, which can dwarf the epoch's compute. The knob
+        # trades preemption-recovery granularity for wall clock; the
+        # final epoch always saves so a completed run is resumable.
+        save_every = int(
+            cfg["trainer"].get("save_last_every_n_epochs", 1) or 1)
+        last_epoch = step >= max_steps or (
+            max_epochs > 0 and epoch >= max_epochs)
+        if epoch % save_every == 0 or last_epoch:
+            ckpts.save_last(state, step, epoch, run_tag=_run_tag(cfg))
 
     if cfg.get("profile"):
         jax.profiler.stop_trace()

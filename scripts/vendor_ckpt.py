@@ -52,16 +52,22 @@ def main():
     assert best.is_dir(), f"no best checkpoint in {runs[-1]}"
 
     m = hp["model"]
-    wrapper_or_clf = make_model(m["name"], sample_rate=hp["sample_rate"],
-                                **m.get("network", {}))
     if m.get("task") == "classifier":
+        from remfx_tpu.models import make_cnn14
+
+        wrapper_or_clf = make_cnn14(
+            num_classes=hp.get("num_classes", 5),
+            sample_rate=hp["sample_rate"], **m.get("network", {}),
+        )
         task = task_mod.ClassifierTask(
             wrapper_or_clf,
-            max_steps=hp["trainer"].get("max_steps", 100) or 100,
-            mixup=m.get("mixup", False),
+            use_mixup=m.get("mixup", False),
+            sample_rate=hp["sample_rate"],
         )
         x0 = jnp.zeros((2, 1, 48000), jnp.float32)
     else:
+        wrapper_or_clf = make_model(m["name"], sample_rate=hp["sample_rate"],
+                                    **m.get("network", {}))
         task = task_mod.RemovalTask(
             wrapper_or_clf,
             max_steps=hp["trainer"].get("max_steps", 100) or 100,
