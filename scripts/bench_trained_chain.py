@@ -65,6 +65,9 @@ def main():
     from remfx_tpu.utils.timing import timeit
 
     args = [a for a in sys.argv[1:]]
+    shuffle = "--fixed-order" not in args
+    if not shuffle:
+        args.remove("--fixed-order")
     B, T = 16, 262144
     for flag in ("--batch", "--T"):
         if flag in args:
@@ -97,10 +100,16 @@ def main():
     # applied (oracle labels), reference render semantics incl. LUFS
     # normalize + MRSTFT redraw, and the same effect parameter ranges
     # the checkpoints were trained on (cfg/effects/all.yaml)
+    # per-example random application order, the reference's eval-set
+    # semantics (shuffle_removed_effects in the monolithic/eval configs;
+    # cfg/exp/5-5_full.yaml). --fixed-order keeps the old list-order
+    # workload (removed-last-outermost — the worst case for FXAug
+    # removers, which train with kept effects innermost).
     renderer = EffectChainRenderer(
         sample_rate,
         effects_to_remove=tuple(effect_names),
         num_removed_effects=(len(effect_names), len(effect_names)),
+        shuffle_removed_effects=shuffle,
         effect_overrides=overrides,
     )
     rng = np.random.default_rng(0)
@@ -138,6 +147,7 @@ def main():
     print(json.dumps({
         "metric": "trained_chain",
         "effects": effect_names,
+        "shuffled_order": shuffle,
         "batch": B,
         "rtf": round(rtf, 1),
         "input_si_sdr_db": round(in_sisdr, 2),
