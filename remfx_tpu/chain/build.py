@@ -139,4 +139,5 @@ def _finish_chain(cfg: dict, models, classifier) -> ChainInference:
         classifier=classifier,
         shuffle_effect_order=cfg.get("inference_effects_shuffle", False),
         use_all_effect_models=cfg.get("inference_use_all_effect_models", False),
+        seed=int(cfg.get("seed", 0)),
     )

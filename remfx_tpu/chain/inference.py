@@ -84,6 +84,7 @@ class ChainInference:
         use_all_effect_models: bool = False,
         threshold: float = 0.5,
         dispatch: str = "single",
+        seed: int = 0,
     ):
         """dispatch: "single" = whole chain in one jit; "staged" = one jit
         per stage (smaller compile units for the remote compiler);
@@ -100,6 +101,12 @@ class ChainInference:
         self.use_all_effect_models = use_all_effect_models
         self.threshold = threshold
         self.dispatch = dispatch
+        # seeded order-shuffle RNG: the reference runs its in-place
+        # random.shuffle under pl.seed_everything (scripts/train.py:12-13),
+        # so shuffled-order evals are reproducible there — match that.
+        import random as pyrandom
+
+        self._order_rng = pyrandom.Random(seed)
         self._jitted = {}
         self._stage_jits = {}
 
@@ -299,12 +306,10 @@ class ChainInference:
 
     def test_step(self, batch, rng=None):
         """-> metrics dict (test_loss/test_SISDR/test_STFT/Input_*)."""
-        import random as pyrandom
-
         x, y, _, _ = batch
         order = list(self.effect_order)
         if self.shuffle_effect_order:
-            pyrandom.shuffle(order)  # reference mutates in place (quirk 11)
+            self._order_rng.shuffle(order)  # reference mutates in place (quirk 11)
             self.effect_order = tuple(order)
         loss, output = self.forward(batch, order=order)
         yc = y

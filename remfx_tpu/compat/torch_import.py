@@ -638,6 +638,11 @@ def detect_kind(sd: dict) -> str:
     keys = set(sd)
     if any(k.startswith("masker.encoders") for k in keys):
         return "dcunet"
+    # dptnet must be fingerprinted before demucs: asteroid DPTNet dicts
+    # contain "encoder.filterbank._filters", which the demucs "encoder."
+    # prefix check would otherwise claim
+    if any(".mha.in_proj_weight" in k for k in keys):
+        return "dptnet"
     if any(
         k.startswith(("freq_emb.", "tencoder.", "encoder.", "freq_encoder.",
                       "time_encoder."))
@@ -648,8 +653,6 @@ def detect_kind(sd: dict) -> str:
         return "cnn14"
     if any(k.startswith("process_blocks.") for k in keys):
         return "tcn"
-    if any(".mha.in_proj_weight" in k for k in keys):
-        return "dptnet"
     if any(k.startswith(("lstm.weight_ih_l0", "fc1.weight", "bn1.")) for k in keys):
         return "umx"
     raise ValueError(
@@ -676,19 +679,27 @@ def check_structure(converted, template) -> None:
     way; a silent partial load would eval random weights)."""
     import jax
 
-    conv_paths = {
-        "/".join(str(getattr(k, "key", k)) for k in p)
-        for p, _ in jax.tree_util.tree_flatten_with_path(converted)[0]
-    }
-    tmpl_paths = {
-        "/".join(str(getattr(k, "key", k)) for k in p)
-        for p, _ in jax.tree_util.tree_flatten_with_path(template)[0]
-    }
-    missing = sorted(tmpl_paths - conv_paths)
-    extra = sorted(conv_paths - tmpl_paths)
-    if missing or extra:
+    def leaves(tree):
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in p): leaf
+            for p, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    conv, tmpl = leaves(converted), leaves(template)
+    missing = sorted(set(tmpl) - set(conv))
+    extra = sorted(set(conv) - set(tmpl))
+    # load_state_dict is also strict about shapes: a checkpoint converted
+    # against the wrong architecture config must not pass here and
+    # broadcast/crash later at apply time
+    shape_errs = [
+        (p, tuple(getattr(conv[p], "shape", ())), tuple(getattr(tmpl[p], "shape", ())))
+        for p in sorted(set(conv) & set(tmpl))
+        if tuple(getattr(conv[p], "shape", ())) != tuple(getattr(tmpl[p], "shape", ()))
+    ]
+    if missing or extra or shape_errs:
         raise ValueError(
             f"converted checkpoint structure mismatch: "
             f"missing={missing[:8]}{'...' if len(missing) > 8 else ''} "
-            f"extra={extra[:8]}{'...' if len(extra) > 8 else ''}"
+            f"extra={extra[:8]}{'...' if len(extra) > 8 else ''} "
+            f"shape_mismatch={shape_errs[:8]}{'...' if len(shape_errs) > 8 else ''}"
         )

@@ -43,7 +43,9 @@ def main():
 
     audio, sr = read_wav(in_path)
     assert sr == cfg["sample_rate"], f"expected {cfg['sample_rate']} Hz"
-    audio = audio.sum(0, keepdims=True)
+    # reference downmixes stereo by mean (scripts/remfx_detect.py:48);
+    # sum would be +6 dB hot and out of the classifier's level range
+    audio = audio.mean(0, keepdims=True)
 
     # trained-weights-only chain: prune the ckpt map to the vendored
     # removers and point the classifier at the trained Cnn14
@@ -79,7 +81,7 @@ def main():
         from remfx_tpu.utils.crop import causal_crop
 
         dry, _ = read_wav(cfg["target"])
-        dry = jnp.asarray(dry.sum(0, keepdims=True))[None]
+        dry = jnp.asarray(dry.mean(0, keepdims=True))[None]
         # align with the chain's passthrough cropping (valid-conv
         # backbones shorten output; causal_crop has the reference's
         # exact offset semantics — a 1-sample slip craters SI-SDR)

@@ -116,3 +116,25 @@ def test_bench_script_shape():
     line = json.dumps({"metric": "chain_rtf", "value": 1.0,
                        "unit": "audio-sec/sec/chip", "vs_baseline": 0.01})
     assert json.loads(line)["metric"] == "chain_rtf"
+
+
+def test_validate_zenodo_offline_dryrun(tmp_path):
+    """validate_zenodo.sh must reach the download step and exit 2 cleanly
+    when offline (VERDICT r3 #9: keep the one networked minute from
+    silently breaking under refactors). A stub wget that fails instantly
+    stands in for the unreachable network."""
+    stub = tmp_path / "bin"
+    stub.mkdir()
+    (stub / "wget").write_text("#!/bin/sh\nexit 4\n")  # wget network-failure code
+    (stub / "wget").chmod(0o755)
+    env = dict(os.environ, PATH=f"{stub}:{os.environ['PATH']}")
+    r = subprocess.run(
+        ["bash", "scripts/validate_zenodo.sh"], cwd=REPO, env=env,
+        timeout=60, capture_output=True, text=True,
+    )
+    assert r.returncode == 2, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "step 1/4" in r.stdout
+    assert "no network" in (r.stdout + r.stderr)
+    # and it left the repo untouched: no zero-byte ckpt artifacts
+    for f in (REPO / "ckpts").glob("*.ckpt"):
+        assert f.stat().st_size > 0
