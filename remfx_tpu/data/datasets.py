@@ -115,6 +115,8 @@ class _RenderedBase:
         mode: str = "train",
         seed: int = 12345,
         synthetic: bool = False,
+        synthetic_rich: bool = False,
+        synthetic_real_files=(),
     ):
         self.sample_rate = int(sample_rate)
         self.chunk_size = int(chunk_size)
@@ -149,7 +151,9 @@ class _RenderedBase:
             },
         )
         self.source = ChunkSource(
-            root, mode, self.chunk_size, self.sample_rate, synthetic=synthetic
+            root, mode, self.chunk_size, self.sample_rate,
+            synthetic=synthetic, rich=synthetic_rich,
+            real_files=tuple(synthetic_real_files or ()),
         )
         # distinct stream per (seed, mode) so train/val/test differ
         self._mode_salt = {"train": 0, "val": 1, "test": 2}.get(mode, 3)

@@ -128,6 +128,146 @@ def synthetic_chunk(
     return (0.5 * x / peak)[None, :].astype(np.float32)
 
 
+def _karplus_note(rng: np.random.Generator, n: int, freq: float,
+                  sample_rate: int, decay: float) -> np.ndarray:
+    """Karplus-Strong plucked string: noise-burst-initialized delay line
+    with the classic two-tap averaging loop, iterated period-blockwise
+    (vectorized: each period is derived from the previous in one numpy
+    op, so synthesis is O(T) small-vector work, not a Python sample loop)."""
+    D = max(2, int(round(sample_rate / freq)))
+    prev = rng.uniform(-1.0, 1.0, D).astype(np.float32)
+    out = np.empty(n, np.float32)
+    pos = 0
+    while pos < n:
+        m = min(D, n - pos)
+        out[pos:pos + m] = prev[:m]
+        prev = (decay * 0.5) * (prev + np.roll(prev, 1))
+        pos += m
+    return out
+
+
+def _pluck_phrase(rng: np.random.Generator, chunk_size: int,
+                  sample_rate: int) -> np.ndarray:
+    """A phrase of plucked-string notes (guitar-like material — the
+    reference trains on GuitarSet; VERDICT r3 #3 asks the synthetic
+    source to cover plucked timbres)."""
+    x = np.zeros(chunk_size, np.float32)
+    n_notes = int(rng.integers(4, 16))
+    onsets = np.sort(rng.uniform(0, 0.9 * chunk_size, n_notes).astype(int))
+    midi = rng.integers(40, 77, n_notes)  # E2..E5
+    for on, m in zip(onsets, midi):
+        freq = 440.0 * 2.0 ** ((float(m) - 69.0) / 12.0)
+        length = min(chunk_size - on, int(rng.uniform(0.3, 2.0) * sample_rate))
+        if length <= 0:
+            continue
+        note = _karplus_note(rng, length, freq, sample_rate,
+                             decay=float(rng.uniform(0.990, 0.999)))
+        amp = float(rng.uniform(0.3, 1.0))
+        x[on:on + length] += amp * note
+    return x
+
+
+def _drum_pattern(rng: np.random.Generator, chunk_size: int,
+                  sample_rate: int) -> np.ndarray:
+    """Kick/snare/hat transients on a tempo grid (drum-like material —
+    the reference trains on IDMT-SMT-Drums)."""
+    x = np.zeros(chunk_size, np.float32)
+    bpm = float(rng.uniform(70, 170))
+    step = int(sample_rate * 60.0 / bpm / 2.0)  # 8th-note grid
+    for pos in range(0, chunk_size, max(step, 1)):
+        for kind in ("kick", "snare", "hat"):
+            if rng.uniform() > {"kick": 0.45, "snare": 0.35, "hat": 0.6}[kind]:
+                continue
+            if kind == "kick":
+                dur = int(rng.uniform(0.08, 0.3) * sample_rate)
+                t = np.arange(dur, dtype=np.float32) / sample_rate
+                f = 50.0 + 90.0 * np.exp(-t / 0.03)  # pitch sweep down
+                hit = np.sin(2 * np.pi * np.cumsum(f) / sample_rate)
+                hit *= np.exp(-t / float(rng.uniform(0.05, 0.15)))
+                amp = rng.uniform(0.6, 1.0)
+            elif kind == "snare":
+                dur = int(rng.uniform(0.06, 0.2) * sample_rate)
+                t = np.arange(dur, dtype=np.float32) / sample_rate
+                body = np.sin(2 * np.pi * float(rng.uniform(170, 260)) * t)
+                noise = rng.standard_normal(dur).astype(np.float32)
+                hit = (0.5 * body + 0.7 * noise) * np.exp(
+                    -t / float(rng.uniform(0.03, 0.08)))
+                amp = rng.uniform(0.4, 0.8)
+            else:  # hat: differenced (high-passed) noise, fast decay
+                dur = int(rng.uniform(0.02, 0.08) * sample_rate)
+                t = np.arange(dur, dtype=np.float32) / sample_rate
+                noise = rng.standard_normal(dur + 1).astype(np.float32)
+                hit = np.diff(noise) * np.exp(-t / 0.02)
+                amp = rng.uniform(0.15, 0.4)
+            end = min(chunk_size, pos + dur)
+            x[pos:end] += (amp * hit[: end - pos]).astype(np.float32)
+    return x
+
+
+def _real_file_chunk(rng: np.random.Generator, chunk_size: int,
+                     sample_rate: int, path: str) -> np.ndarray:
+    """A chunk of real recorded material with cheap diversity transforms
+    (random resample factor = pitch/tempo shift, wraparound crop, gain):
+    one vendored clip (demos/example_48k_mono.wav = the reference's
+    example.wav) becomes a family of training sources instead of a
+    single point (VERDICT r3 #3: the classifier detected nothing on real
+    guitar — pure domain gap)."""
+    audio, sr = read_wav(path)
+    x = audio.mean(0) if audio.shape[0] > 1 else audio[0]
+    rate = float(rng.uniform(0.7, 1.4)) * (sr / sample_rate)
+    # linear-interp resample is plenty for *source* material diversity
+    n_src = x.shape[-1]
+    idx = np.arange(int(n_src / rate), dtype=np.float64) * rate
+    idx = idx[idx < n_src - 1]
+    lo = idx.astype(int)
+    frac = (idx - lo).astype(np.float32)
+    y = x[lo] * (1 - frac) + x[lo + 1] * frac
+    start = int(rng.integers(0, max(1, y.shape[-1])))
+    y = np.roll(y, -start)  # wraparound crop start
+    reps = int(np.ceil(chunk_size / max(1, y.shape[-1])))
+    y = np.tile(y, reps)[:chunk_size]
+    return y.astype(np.float32)
+
+
+def synthetic_chunk_rich(
+    rng: np.random.Generator, chunk_size: int, sample_rate: int,
+    real_files: tuple[str, ...] = (),
+) -> np.ndarray:
+    """Multi-family synthetic source ``(1, chunk_size)``: plucked-string
+    phrases, drum patterns, the original harmonic tone, real-file chunks
+    (when vendored clips are configured), and two-family mixtures —
+    approximating the spread of the reference's VocalSet/GuitarSet/
+    DSD100/IDMT starter sets (remfx/datasets.py:23-56) without downloads."""
+    families = ["harmonic", "pluck", "drums", "mix"]
+    weights = [0.2, 0.3, 0.2, 0.15]
+    if real_files:
+        families.append("real")
+        weights.append(0.15)
+    w = np.asarray(weights) / np.sum(weights)
+    fam = families[int(rng.choice(len(families), p=w))]
+
+    def draw(f):
+        if f == "harmonic":
+            return synthetic_chunk(rng, chunk_size, sample_rate)[0]
+        if f == "pluck":
+            return _pluck_phrase(rng, chunk_size, sample_rate)
+        if f == "drums":
+            return _drum_pattern(rng, chunk_size, sample_rate)
+        if f == "real":
+            path = real_files[int(rng.integers(0, len(real_files)))]
+            return _real_file_chunk(rng, chunk_size, sample_rate, path)
+        raise ValueError(f)
+
+    if fam == "mix":  # DSD100-style two-source mixture
+        pool = [f for f in families if f != "mix"]
+        a, b = rng.choice(len(pool), 2, replace=False)
+        x = draw(pool[int(a)]) + float(rng.uniform(0.3, 1.0)) * draw(pool[int(b)])
+    else:
+        x = draw(fam)
+    peak = np.max(np.abs(x)) + 1e-9
+    return (float(rng.uniform(0.25, 0.6)) * x / peak)[None, :].astype(np.float32)
+
+
 def _one_pole(x: np.ndarray, a: float, b: float) -> np.ndarray:
     """y[n] = a y[n-1] + b x[n] in O(T log T) via FFT of the truncated
     exponential kernel (numerically exact to float32 for |a|<1)."""
@@ -149,10 +289,15 @@ class ChunkSource:
     """
 
     def __init__(self, root, mode: str, chunk_size: int, sample_rate: int,
-                 synthetic: bool = False):
+                 synthetic: bool = False, rich: bool = False,
+                 real_files: tuple[str, ...] = ()):
         self.chunk_size = int(chunk_size)
         self.sample_rate = int(sample_rate)
         self.synthetic = bool(synthetic) or root is None
+        self.rich = bool(rich)
+        self.real_files = tuple(
+            str(p) for p in real_files if Path(p).is_file()
+        )
         self.root = root
         self.mode = mode
         self.files: list[list[str]] = []
@@ -166,6 +311,10 @@ class ChunkSource:
 
     def sample(self, rng: np.random.Generator) -> np.ndarray:
         if self.synthetic:
+            if self.rich:
+                return synthetic_chunk_rich(
+                    rng, self.chunk_size, self.sample_rate, self.real_files
+                )
             return synthetic_chunk(rng, self.chunk_size, self.sample_rate)
         if not self.files:
             raise FileNotFoundError(

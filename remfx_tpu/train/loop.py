@@ -51,6 +51,10 @@ def build_datamodule(cfg: dict) -> EffectDatamodule:
         effect_overrides=cfg.get("effects"),
         seed=cfg["seed"],
         synthetic=dm.get("synthetic", False),
+        # multi-family synthetic sources (plucks/drums/mixtures + vendored
+        # real clips) — the classifier's domain-gap lever (VERDICT r3 #3)
+        synthetic_rich=dm.get("synthetic_rich", False),
+        synthetic_real_files=dm.get("synthetic_real_files", ()),
     )
     dstype = dm.get("dataset_type", "offline")
     if dstype == "inference":
