@@ -153,12 +153,31 @@ def main():
     dt, _ = timeit(run, iters=5, warmup=2, repeats=3)
     audio_sec = B * T / sample_rate
     rtf = audio_sec / dt
-    print(json.dumps({
+    result = {
         "metric": "chain_rtf",
         "value": round(rtf, 2),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(rtf / 100.0, 3),
-    }))
+    }
+
+    if dispatch == "regroup":
+        # second row (VERDICT r3 #6): classifier-DRIVEN dispatch. The
+        # counts readback must wait on the classifier output (labels
+        # carry a data dependency on probs), so the measured time
+        # includes the detect->host->dispatch barrier the oracle row
+        # pipelines away. Label VALUES stay oracle-pinned so both rows
+        # time the identical removal workload.
+        def run_detect():
+            probs = chain.detect(x)
+            lab = oracle + 0.0 * probs  # value == oracle, dep == detect
+            out, _ = oracle_chain._run_regrouped(
+                x, lab, oracle_chain.effect_order)
+            return out
+
+        dt_d, _ = timeit(run_detect, iters=5, warmup=2, repeats=3)
+        result["detect_driven_rtf"] = round(audio_sec / dt_d, 2)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -96,6 +96,32 @@ def _validate_effect_input(keep, remove, num_kept, num_removed,
     )
 
 
+_RENDERER_CACHE: dict = {}
+
+
+def _shared_renderer(**kw) -> EffectChainRenderer:
+    """One EffectChainRenderer per distinct config per process.
+
+    The renderer is stateless between calls but owns per-instance
+    ``jax.jit`` wrappers; a fresh instance per dataset (train/val/test
+    all build one) recompiled every (effect, bucket-size) signature —
+    ~10-100 s each on the remote compiler, which dominated round-3's
+    dataset rendering (BASELINE.md: 4.5 s/chunk vs the 0.09 s/chunk
+    steady state). Sharing turns val/test rendering into pure compute."""
+
+    def freeze(v):
+        if isinstance(v, dict):
+            return tuple(sorted((k, freeze(x)) for k, x in v.items()))
+        if isinstance(v, (list, tuple)):
+            return tuple(freeze(x) for x in v)
+        return v
+
+    key = freeze(kw)
+    if key not in _RENDERER_CACHE:
+        _RENDERER_CACHE[key] = EffectChainRenderer(**kw)
+    return _RENDERER_CACHE[key]
+
+
 class _RenderedBase:
     """Shared config/renderer setup for offline + dynamic datasets."""
 
@@ -137,7 +163,7 @@ class _RenderedBase:
             self.num_kept_effects, self.num_removed_effects,
         )
         overrides = effect_overrides or {}
-        self.renderer = EffectChainRenderer(
+        self.renderer = _shared_renderer(
             sample_rate=self.sample_rate,
             effects_to_keep=self.effects_to_keep,
             effects_to_remove=self.effects_to_remove,

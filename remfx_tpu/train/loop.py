@@ -312,9 +312,16 @@ def fit(cfg: dict):
             # whole run. Template-free restore: the donor's optimizer
             # structure (e.g. MultiSteps wrapping) need not match ours.
             donor = restore_tree(cfg["warm_start"])
+            # vendored donors store bf16 params (save_trained_variables
+            # halves them for repo size); master weights must stay the
+            # template's fp32 or AdamW runs on bf16 masters silently
+            cast = jax.tree.map(
+                lambda d, t: jnp.asarray(d, t.dtype), donor["params"],
+                state.params,
+            )
             state = state.replace(
-                params=donor["params"],
-                batch_stats=donor.get("batch_stats"),
+                params=cast,
+                batch_stats=donor.get("batch_stats", state.batch_stats),
             )
             log.info("warm-started params from %s", cfg["warm_start"])
         if prior is not None:
