@@ -34,3 +34,12 @@ def setup(cache_dir: str | None = None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # older jax without the flags
         pass
+    # REMFX_WATCHDOG=N: dump all-thread tracebacks to stderr every N
+    # seconds — locates silent stalls (remote-compile waits vs host
+    # loops) on the tunneled backend, where a hung device RPC shows 0%
+    # CPU and no log output.
+    watchdog = os.environ.get("REMFX_WATCHDOG")
+    if watchdog:
+        import faulthandler
+
+        faulthandler.dump_traceback_later(float(watchdog), repeat=True)
