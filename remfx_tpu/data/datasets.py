@@ -28,6 +28,7 @@ from remfx_tpu import ALL_EFFECTS
 from remfx_tpu.augment.render import EffectChainRenderer
 from remfx_tpu.data.sources import ChunkSource
 from remfx_tpu.data.wav import read_wav, write_wav
+from remfx_tpu.utils import heartbeat
 from remfx_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
@@ -193,6 +194,7 @@ class _RenderedBase:
         dry, wet, dry_labels, wet_labels = self.renderer.render_batch(
             key, jnp.asarray(chunks)
         )
+        heartbeat.beat()  # liveness for scripts/supervise.py
         return (
             np.asarray(wet, np.float32),
             np.asarray(dry, np.float32),
@@ -219,9 +221,32 @@ class EffectDataset(_RenderedBase):
         )
         self.render_batch_size = int(render_batch_size)
 
+        resume_from = 0
         if self.proc_root.exists() and any(self.proc_root.iterdir()):
-            log.info("Found processed files at %s", self.proc_root)
-            if render_files:
+            # a chunk dir is complete iff its last-written file exists;
+            # completeness is counted contiguously from 0 because the
+            # render loop writes index-ordered (a killed run leaves a
+            # prefix + at most one ragged batch)
+            n_complete = 0
+            while (self.proc_root / str(n_complete) / "wet_effects.pt").exists():
+                n_complete += 1
+            if render_files and n_complete < self.total_chunks:
+                # partial render (e.g. the process was killed by the
+                # supervisor mid-render): resume at the batch boundary
+                # at or below the first incomplete chunk — rendering is
+                # deterministic in (seed, mode, batch index), so the
+                # completed prefix is bit-identical to a fresh run's
+                resume_from = (
+                    n_complete // int(render_batch_size)
+                ) * int(render_batch_size)
+                log.info(
+                    "Resuming partial render at %s: %d/%d chunks complete,"
+                    " restarting from chunk %d",
+                    self.proc_root, n_complete, self.total_chunks,
+                    resume_from,
+                )
+            elif render_files:
+                log.info("Found processed files at %s", self.proc_root)
                 # reference's interactive y/n guard (datasets.py:385-395);
                 # non-interactive runs must opt in via env to re-render
                 if os.environ.get("REMFX_FORCE_RERENDER") == "1":
@@ -244,7 +269,7 @@ class EffectDataset(_RenderedBase):
 
         if render_files:
             self.proc_root.mkdir(parents=True, exist_ok=True)
-            self._render_to_disk()
+            self._render_to_disk(resume_from)
             log.info("Finished rendering %d chunks", self.total_chunks)
         else:
             if not self.proc_root.exists():
@@ -261,7 +286,7 @@ class EffectDataset(_RenderedBase):
             )
         log.info("Total chunks: %d", self.total_chunks)
 
-    def _render_to_disk(self):
+    def _render_to_disk(self, resume_from: int = 0):
         rng = np.random.default_rng([self.seed, self._mode_salt])
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), self._mode_salt)
         done = 0
@@ -269,6 +294,13 @@ class EffectDataset(_RenderedBase):
         while done < self.total_chunks:
             n = min(self.render_batch_size, self.total_chunks - done)
             chunks = self._chunk_batch(rng, n)
+            if done + n <= resume_from:
+                # resume fast-forward: the chunk draw above keeps the
+                # host rng stream identical to an uninterrupted run;
+                # only the (already on disk) device render is skipped
+                done += n
+                batch_idx += 1
+                continue
             wet, dry, dl, wl = self._render_batch(
                 jax.random.fold_in(key, batch_idx), chunks
             )

@@ -31,6 +31,7 @@ from remfx_tpu.train.checkpoint import (
 )
 from remfx_tpu.train.loggers import make_logger
 from remfx_tpu.train.tasks import ClassifierTask, RemovalTask
+from remfx_tpu.utils import heartbeat
 from remfx_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
@@ -385,6 +386,7 @@ def fit(cfg: dict):
             b = _shard(_adapt_batch(task, batch), mesh)
             key, k_step = jrandom.split(key)
             state, metrics = task.train_step(state, b, k_step)
+            heartbeat.beat()  # liveness for scripts/supervise.py
             micro += 1
             if micro % accum:
                 continue

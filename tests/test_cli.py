@@ -138,3 +138,31 @@ def test_validate_zenodo_offline_dryrun(tmp_path):
     # and it left the repo untouched: no zero-byte ckpt artifacts
     for f in (REPO / "ckpts").glob("*.ckpt"):
         assert f.stat().st_size > 0
+
+
+def test_supervise_relaunches_on_stall(tmp_path):
+    """scripts/supervise.py must SIGKILL a child whose heartbeat goes
+    stale and relaunch it (auto-resume semantics for wedged device
+    RPCs). Child 1 beats once then hangs; child 2 exits 0."""
+    state = tmp_path / "attempt"
+    child = tmp_path / "child.py"
+    child.write_text(
+        "import os, sys, time, pathlib\n"
+        "hb = os.environ['REMFX_HEARTBEAT']\n"
+        "state = pathlib.Path(sys.argv[1])\n"
+        "n = int(state.read_text()) if state.exists() else 0\n"
+        "state.write_text(str(n + 1))\n"
+        "os.utime(hb, None)\n"
+        "if n == 0:\n"
+        "    time.sleep(600)  # wedged RPC stand-in\n"
+        "sys.exit(0)\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "scripts/supervise.py", "--stall", "3",
+         "--grace", "3", "--retries", "2", "--",
+         sys.executable, str(child), str(state)],
+        cwd=REPO, timeout=120, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert state.read_text() == "2"
+    assert "relaunching" in r.stderr

@@ -87,6 +87,53 @@ def test_effect_dataset_reuse_without_render(tmp_path):
         EffectDataset(render_files=True, **kw)
 
 
+def test_effect_dataset_resume_partial_render(tmp_path, monkeypatch):
+    """A render killed mid-way (flaky device tunnel + supervisor kill)
+    must resume at the batch boundary and produce a dataset BIT-IDENTICAL
+    to an uninterrupted run — rendering is deterministic in
+    (seed, mode, batch index) and the host rng stream is fast-forwarded
+    through the completed prefix."""
+    kw = dict(total_chunks=6, mode="train", render_batch_size=2, **_common())
+    full_root = tmp_path / "full"
+    EffectDataset(render_files=True, render_root=full_root, **kw)
+    proc_full = full_root / "processed"
+
+    part_root = tmp_path / "part"
+    EffectDataset(render_files=True, render_root=part_root, **kw)
+    proc = next((part_root / "processed").glob("*/train"))
+    # simulate the kill: chunks 4,5 never written; chunk 3 ragged
+    # (missing its last-written file)
+    import shutil
+
+    shutil.rmtree(proc / "4")
+    shutil.rmtree(proc / "5")
+    (proc / "3" / "wet_effects.pt").unlink()
+
+    ds = EffectDataset(render_files=True, render_root=part_root, **kw)
+    assert len(ds) == 6
+    full = next(proc_full.glob("*/train"))
+    for i in range(6):
+        for fname in ("input.wav", "target.wav"):
+            a, _ = read_wav(proc / str(i) / fname)
+            b, _ = read_wav(full / str(i) / fname)
+            np.testing.assert_array_equal(a, b, err_msg=f"{i}/{fname}")
+
+
+def test_render_heartbeat(tmp_path, monkeypatch):
+    """With $REMFX_HEARTBEAT set, every rendered batch touches the
+    heartbeat file (the supervisor's liveness signal)."""
+    from remfx_tpu.utils import heartbeat
+
+    hb = tmp_path / "hb"
+    monkeypatch.setenv("REMFX_HEARTBEAT", str(hb))
+    # reset the module's getenv cache (process-wide singleton)
+    monkeypatch.setattr(heartbeat, "_checked", False)
+    monkeypatch.setattr(heartbeat, "_path", None)
+    EffectDataset(total_chunks=2, mode="train", render_files=True,
+                  render_root=tmp_path, render_batch_size=2, **_common())
+    assert hb.exists()
+
+
 def test_dynamic_dataset_deterministic_per_epoch():
     ds = DynamicEffectDataset(total_chunks=4, mode="train", **_common())
     a = ds.get_batch([0, 1])
