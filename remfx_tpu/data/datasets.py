@@ -245,6 +245,13 @@ class EffectDataset(_RenderedBase):
                     self.proc_root, n_complete, self.total_chunks,
                     resume_from,
                 )
+            elif render_files and os.environ.get("REMFX_RENDER_REUSE") == "1":
+                # supervised relaunch (scripts/supervise.py): a kill
+                # after rendering completed must NOT trip the re-render
+                # guard below — reuse the complete render and move on
+                log.info("Reusing complete render at %s (%d chunks,"
+                         " REMFX_RENDER_REUSE=1)", self.proc_root, n_complete)
+                render_files = False
             elif render_files:
                 log.info("Found processed files at %s", self.proc_root)
                 # reference's interactive y/n guard (datasets.py:385-395);

@@ -52,7 +52,9 @@ def main():
 
     hb = tempfile.NamedTemporaryFile(prefix="remfx_hb_", delete=False)
     hb.close()
-    env = dict(os.environ, REMFX_HEARTBEAT=hb.name)
+    # REMFX_RENDER_REUSE: a relaunch after a kill must reuse a complete
+    # render instead of tripping EffectDataset's re-render guard
+    env = dict(os.environ, REMFX_HEARTBEAT=hb.name, REMFX_RENDER_REUSE="1")
 
     attempt = 0
     while True:

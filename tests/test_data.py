@@ -359,3 +359,18 @@ def test_synthetic_chunk_rich_families():
                       real_files=("does_not_exist.wav",))
     assert src.real_files == ()
     assert src.sample(np.random.default_rng(0)).shape == (1, 4096)
+
+
+def test_render_reuse_env_skips_guard(tmp_path, monkeypatch):
+    """REMFX_RENDER_REUSE=1 (set by scripts/supervise.py for relaunched
+    children) must reuse a COMPLETE render instead of tripping the
+    non-interactive re-render guard — otherwise a supervisor kill after
+    rendering finished would make every relaunch exit 1."""
+    kw = dict(total_chunks=2, mode="train", render_root=tmp_path,
+              render_batch_size=2, **_common())
+    ds = EffectDataset(render_files=True, **kw)
+    first = ds[0]
+    monkeypatch.setenv("REMFX_RENDER_REUSE", "1")
+    ds2 = EffectDataset(render_files=True, **kw)
+    assert len(ds2) == 2
+    np.testing.assert_array_equal(first[0], ds2[0][0])
