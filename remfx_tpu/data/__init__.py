@@ -1,4 +1,5 @@
 from remfx_tpu.data.datasets import (  # noqa: F401
+    DeviceCachedDataset,
     DynamicEffectDataset,
     EffectDatamodule,
     EffectDataset,

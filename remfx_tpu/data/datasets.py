@@ -349,6 +349,64 @@ class EffectDataset(_RenderedBase):
         return item
 
 
+class DeviceCachedDataset:
+    """Device-resident copy of an offline dataset (HBM data cache).
+
+    On the tunneled TPU backend every per-step host->device batch upload
+    pays RPC latency + transfer: measured 3.1 s/step for a DCUNet batch
+    (8 x 262144 fp32 wet+dry) whose pure compute is 0.33 s — the true
+    cause of round-3's "bf16 step-time regression" (PERF_NOTES #19 was
+    only half the story). The renders were PRODUCED on device, so
+    shipping them host->disk->host->device per step is pure waste. This
+    wrapper bulk-loads the whole dataset into HBM once and serves
+    batches as on-device gathers (one jitted ``take`` per batch, zero
+    host traffic). Audio is stored bf16 (halves the one-time transfer;
+    ~1e-3 relative quantization, far below effect-render magnitudes)
+    and cast back to fp32 on gather so downstream dtype semantics are
+    unchanged; labels stay fp32.
+
+    No reference analogue: torch DataLoaders feed CUDA from host RAM
+    per batch (remfx/datasets.py:623-673) — on a local PCIe GPU that is
+    cheap, through a network tunnel it dominates the step.
+    """
+
+    def __init__(self, ds, *, keep_dry: bool = True, store_dtype="bfloat16"):
+        import jax
+        import jax.numpy as jnp
+
+        self._len = len(ds)
+        items = [ds[i] for i in range(self._len)]
+        wet, dry, dl, wl = (np.stack(col) for col in zip(*items))
+        if not keep_dry:
+            # classifier task reads only (wet, wet_labels): don't spend
+            # HBM on targets (a 4096-chunk cache would double to 8.6 GB)
+            dry = np.zeros((self._len, 1, 1), np.float32)
+        sd = jnp.dtype(store_dtype)
+        self._store = (
+            jnp.asarray(wet, sd), jnp.asarray(dry, sd),
+            jnp.asarray(dl), jnp.asarray(wl),
+        )
+
+        def take(store, idx):
+            w, d, a, b = (jnp.take(c, idx, axis=0) for c in store)
+            return (w.astype(jnp.float32), d.astype(jnp.float32), a, b)
+
+        self._take = jax.jit(take)
+
+    def __len__(self):
+        return self._len
+
+    def get_batch(self, idx):
+        import jax.numpy as jnp
+
+        return self._take(self._store, jnp.asarray(np.asarray(idx)))
+
+    def __getitem__(self, i: int):
+        w, d, a, b = self.get_batch([int(i)])
+        return np.asarray(w[0]), np.asarray(d[0]), np.asarray(a[0]), \
+            np.asarray(b[0])
+
+
 class DynamicEffectDataset(_RenderedBase):
     """On-the-fly rendering (reference DynamicEffectDataset,
     datasets.py:205-330): every access renders fresh random examples —

@@ -261,11 +261,44 @@ def _run_tag(cfg: dict) -> str:
     ])
 
 
+def _maybe_device_cache(cfg: dict, task, datamodule):
+    """Wrap offline datasets in a device-resident HBM cache (see
+    DeviceCachedDataset): eliminates the per-step host->device batch
+    upload that dominates tunneled-backend training (3.1 s/step vs
+    0.33 s compute, DCUNet batch 8). ``datamodule.device_cache``:
+    true | false | "auto" (default: on for offline datasets on a
+    non-cpu backend when the audio fits a 6 GB HBM budget)."""
+    import jax
+
+    mode = cfg["datamodule"].get("device_cache", "auto")
+    if mode is False or cfg["datamodule"].get("dataset_type") == "inference":
+        return
+    backend = jax.default_backend()
+    keep_dry = not isinstance(task, ClassifierTask)
+    from remfx_tpu.data import DeviceCachedDataset, EffectDataset
+
+    for attr in ("train_dataset", "val_dataset", "test_dataset"):
+        ds = getattr(datamodule, attr, None)
+        if not isinstance(ds, EffectDataset):
+            continue  # dynamic datasets already render on device
+        bytes_est = (
+            len(ds) * ds.chunk_size * 2 * (2 if keep_dry else 1)
+        )
+        if mode == "auto" and (
+            backend == "cpu" or bytes_est > 6 * 1024**3
+        ):
+            continue
+        log.info("device-caching %s (%d chunks, ~%d MB bf16)",
+                 attr, len(ds), bytes_est // 2**20)
+        setattr(datamodule, attr, DeviceCachedDataset(ds, keep_dry=keep_dry))
+
+
 def fit(cfg: dict):
     import jax.random as jrandom
 
     datamodule = build_datamodule(cfg)
     task = build_task(cfg)
+    _maybe_device_cache(cfg, task, datamodule)
     key = jrandom.PRNGKey(cfg["seed"])
 
     # init from one example batch

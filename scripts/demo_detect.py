@@ -30,9 +30,16 @@ from remfx_tpu.chain.build import build_chain  # noqa: E402
 from remfx_tpu.config.core import parse_cli  # noqa: E402
 from remfx_tpu.data.wav import read_wav, write_wav  # noqa: E402
 
+# first existing dir wins per effect: prefer the strongest vendored
+# remover (the round-4 DCUNet reverb_aug supersedes the +0.2 dB UMX)
+TRAINED_PREFS = {
+    "RandomPedalboardDistortion": ["ckpts/tcn_distortion_aug"],
+    "RandomPedalboardReverb": ["ckpts/dcunet_reverb_aug_r4",
+                               "ckpts/umx_reverb_synth"],
+}
 TRAINED = {
-    "RandomPedalboardDistortion": "ckpts/tcn_distortion_aug",
-    "RandomPedalboardReverb": "ckpts/umx_reverb_synth",
+    k: next((p for p in prefs if Path(p).is_dir()), prefs[-1])
+    for k, prefs in TRAINED_PREFS.items()
 }
 
 
@@ -53,7 +60,9 @@ def main():
         k: {"model": "tcn", "ckpt_path": v}
         for k, v in TRAINED.items() if Path(v).is_dir()
     }
-    cfg["classifier_ckpt"] = "ckpts/classifier_cnn14"
+    cfg["classifier_ckpt"] = next(
+        (p for p in ("ckpts/classifier_cnn14_r4", "ckpts/classifier_cnn14")
+         if Path(p).is_dir()), "ckpts/classifier_cnn14")
     x = jnp.asarray(audio, jnp.float32)[None]
     chain = build_chain(cfg, x)
 

@@ -374,3 +374,26 @@ def test_render_reuse_env_skips_guard(tmp_path, monkeypatch):
     ds2 = EffectDataset(render_files=True, **kw)
     assert len(ds2) == 2
     np.testing.assert_array_equal(first[0], ds2[0][0])
+
+
+def test_device_cached_dataset_matches_source(tmp_path):
+    """DeviceCachedDataset must serve the same items as the wrapped
+    offline dataset (bf16 storage => ~1e-3 relative audio tolerance;
+    labels exact), batched via on-device gather."""
+    from remfx_tpu.data import DeviceCachedDataset
+
+    kw = dict(total_chunks=4, mode="train", render_root=tmp_path,
+              render_batch_size=2, **_common())
+    ds = EffectDataset(render_files=True, **kw)
+    dc = DeviceCachedDataset(ds)
+    assert len(dc) == 4
+    wet, dry, dl, wl = dc.get_batch([2, 0])
+    w2, d2, a2, b2 = ds[2]
+    assert np.asarray(wet).dtype == np.float32
+    np.testing.assert_allclose(np.asarray(wet[0]), w2, atol=6e-3, rtol=8e-3)
+    np.testing.assert_allclose(np.asarray(dry[1]), ds[0][1], atol=6e-3,
+                               rtol=8e-3)
+    np.testing.assert_array_equal(np.asarray(wl[0]), b2)
+    # classifier mode drops targets to a dummy column
+    dc2 = DeviceCachedDataset(ds, keep_dry=False)
+    assert dc2.get_batch([1])[1].shape == (1, 1, 1)
