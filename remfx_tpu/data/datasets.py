@@ -188,13 +188,27 @@ class _RenderedBase:
     def _chunk_batch(self, rng: np.random.Generator, n: int) -> np.ndarray:
         return np.stack([self.source.sample(rng) for _ in range(n)])
 
-    def _render_batch(self, key, chunks: np.ndarray):
+    def _render_batch(self, key, chunks: np.ndarray, device: bool = False):
         import jax.numpy as jnp
 
         dry, wet, dry_labels, wet_labels = self.renderer.render_batch(
             key, jnp.asarray(chunks)
         )
         heartbeat.beat()  # liveness for scripts/supervise.py
+        if device:
+            # device-resident batch: the render already lives in HBM and
+            # the consumer (train_step/eval_step) is jitted — converting
+            # to numpy here would read the batch back through the device
+            # tunnel at its measured 0.5 MB/s (66 s for a 32 MB batch!)
+            # and re-upload it one step later. No reference analogue:
+            # torch renders on CPU workers, so host-side batches are free
+            # there (remfx/datasets.py:205-330).
+            return (
+                wet.astype(jnp.float32),
+                dry.astype(jnp.float32),
+                dry_labels.astype(jnp.float32),
+                wet_labels.astype(jnp.float32),
+            )
         return (
             np.asarray(wet, np.float32),
             np.asarray(dry, np.float32),
@@ -413,12 +427,16 @@ class DynamicEffectDataset(_RenderedBase):
     no disk. Batched device rendering via ``get_batch``; ``__getitem__``
     exists for single-example parity."""
 
-    def __init__(self, **kw):
+    def __init__(self, *, device_resident: bool = False, **kw):
         kw.pop("render_files", None)
         kw.pop("render_root", None)
         kw.pop("render_batch_size", None)
         super().__init__(**kw)
         self._epoch = 0
+        # keep fresh renders in HBM end-to-end (see _render_batch): the
+        # training consumer is jitted, so numpy round-tripping through
+        # the tunneled backend costs ~2 min/batch of pure transfer
+        self.device_resident = bool(device_resident)
 
     def set_epoch(self, epoch: int):
         self._epoch = int(epoch)
@@ -432,7 +450,7 @@ class DynamicEffectDataset(_RenderedBase):
             jax.random.fold_in(jax.random.PRNGKey(self.seed), self._mode_salt),
             self._epoch * 1_000_003 + int(indices[0]),
         )
-        return self._render_batch(key, chunks)
+        return self._render_batch(key, chunks, device=self.device_resident)
 
     def __getitem__(self, idx: int):
         wet, dry, dl, wl = self.get_batch([idx])

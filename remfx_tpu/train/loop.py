@@ -66,8 +66,15 @@ def build_datamodule(cfg: dict) -> EffectDatamodule:
                                 test_batch_size=dm["test_batch_size"],
                                 seed=cfg["seed"])
     if dstype == "dynamic":
+        dev_res = dm.get("device_resident", "auto")
+        if dev_res == "auto":
+            # fresh renders feed a jitted consumer; leaving them in HBM
+            # avoids the tunneled backend's 0.5 MB/s readback. On CPU the
+            # conversion is free either way — keep numpy for test parity.
+            dev_res = jax.default_backend() != "cpu"
         train = DynamicEffectDataset(
-            total_chunks=dm.get("train_chunks", 8000), mode="train", **common
+            total_chunks=dm.get("train_chunks", 8000), mode="train",
+            device_resident=bool(dev_res), **common
         )
     else:
         train = EffectDataset(

@@ -146,6 +146,22 @@ def test_dynamic_dataset_deterministic_per_epoch():
     assert wet.shape == (1, CHUNK) and wl.shape == (len(ALL_EFFECTS),)
 
 
+def test_dynamic_dataset_device_resident_parity():
+    """device_resident=True keeps fresh renders on device (jax arrays,
+    no host readback on the tunneled backend) and is bit-identical to
+    the numpy path."""
+    import jax
+
+    ds = DynamicEffectDataset(total_chunks=4, mode="train", **_common())
+    dev = DynamicEffectDataset(total_chunks=4, mode="train",
+                               device_resident=True, **_common())
+    a = ds.get_batch([0, 1])
+    b = dev.get_batch([0, 1])
+    assert all(isinstance(x, jax.Array) for x in b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, np.asarray(y))
+
+
 def test_inference_dataset_pad_trim_labels(tmp_path):
     rng = np.random.default_rng(0)
     (tmp_path / "clean").mkdir()
