@@ -453,7 +453,18 @@ class DynamicEffectDataset(_RenderedBase):
         return self._render_batch(key, chunks, device=self.device_resident)
 
     def __getitem__(self, idx: int):
-        wet, dry, dl, wl = self.get_batch([idx])
+        # single-example parity path: always return numpy (matching every
+        # other dataset's __getitem__) regardless of device_resident, so a
+        # np.stack collate can never trigger a hidden device readback
+        rng = np.random.default_rng(
+            [self.seed, self._mode_salt, self._epoch, int(idx)]
+        )
+        chunks = self._chunk_batch(rng, 1)
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(self.seed), self._mode_salt),
+            self._epoch * 1_000_003 + int(idx),
+        )
+        wet, dry, dl, wl = self._render_batch(key, chunks, device=False)
         return wet[0], dry[0], dl[0], wl[0]
 
 

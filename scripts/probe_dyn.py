@@ -1,8 +1,14 @@
 """Probe: cost breakdown of one dynamic classifier training batch."""
+import sys
 import time
+from pathlib import Path
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
 
 print("devices:", jax.devices(), flush=True)
 B, T, SR = 32, 262144, 48000
@@ -10,7 +16,7 @@ B, T, SR = 32, 262144, 48000
 # 1. host synth (rich source)
 from remfx_tpu.data.sources import ChunkSource
 src = ChunkSource(None, "train", T, SR, synthetic=True, rich=True,
-                  real_files=("/root/repo/demos/example_48k_mono.wav",))
+                  real_files=(str(REPO / "demos/example_48k_mono.wav"),))
 rng = np.random.default_rng(0)
 t0 = time.time()
 chunks = np.stack([src.sample(rng) for _ in range(B)])
