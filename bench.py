@@ -177,7 +177,56 @@ def main():
         dt_d, _ = timeit(run_detect, iters=5, warmup=2, repeats=3)
         result["detect_driven_rtf"] = round(audio_sec / dt_d, 2)
 
+    if os.environ.get("REMFX_BENCH_MFU", "1") == "1":
+        result["mfu"] = _mfu_rows(models, cls, cls_vars, x)
+
     print(json.dumps(result))
+
+
+# v5e (v5 lite) bf16 peak per chip; override for other parts
+_PEAK_TFLOPS = float(os.environ.get("REMFX_PEAK_TFLOPS", "197"))
+
+
+def _mfu_rows(models, cls, cls_vars, x):
+    """Per-stage utilization (VERDICT r4 #7): for each distinct backbone
+    forward, XLA's own FLOP count (compiled cost analysis) over measured
+    wall time, as a fraction of v5e bf16 peak. Perf regressions then
+    show up as utilization drops, not just RTF noise."""
+    rows = {}
+    for name, (wrapper, variables) in models.items():
+        kind = getattr(wrapper, "name", None) or type(wrapper).__name__
+        if kind in rows:
+            continue  # one row per distinct backbone
+        fn = jax.jit(lambda vv, xx, w=wrapper: w.apply(vv, xx))
+        rows[kind] = _mfu_one(fn, variables, x)
+    cls_fn = jax.jit(lambda v, xx: cls.apply(v, xx, False))
+    rows["cnn14"] = _mfu_one(cls_fn, cls_vars, x)
+    return rows
+
+
+def _mfu_one(fn, variables, x):
+    from remfx_tpu.utils.timing import timeit
+
+    try:
+        lowered = fn.lower(variables, x)
+        compiled = lowered.compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):  # older jax returns [dict]
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) if ca else 0.0
+    except Exception:
+        flops = 0.0
+    try:
+        dt, _ = timeit(lambda: fn(variables, x), iters=5, warmup=2,
+                       repeats=3)
+    except Exception:
+        return {"error": "stage timing failed"}
+    row = {"ms": round(dt * 1e3, 2)}
+    if flops > 0:
+        tflops = flops / dt / 1e12
+        row["tflops"] = round(tflops, 3)
+        row["mfu"] = round(tflops / _PEAK_TFLOPS, 4)
+    return row
 
 
 if __name__ == "__main__":
