@@ -154,19 +154,26 @@ def make_demucs(
     nfft=4096,
     channels=48,
     depth=6,
+    identity_init=False,
     **_ignored,
 ) -> ModelWrapper:
     # torchaudio-compatible HDemucs; depth is the TOTAL encoder depth
     # (torch default 6). The hybrid inject requires nfft to be a power
     # of 4 (time-branch stride 4^n_freq_layers == hop nfft/4).
+    # identity_init: zero-init the final decoder convs + residual skip
+    # in the wrapper, so training starts from exact passthrough (the
+    # same plateau-escape lever as DCUNet/UMX identity_init; structure
+    # and torch weight-compat unchanged — imports keep this False).
     module = HDemucs(
         sources=tuple(sources),
         audio_channels=audio_channels,
         channels=channels,
         nfft=nfft,
         depth=depth,
+        zero_final=bool(identity_init),
     )
-    return ModelWrapper(module, name="demucs", takes_train_flag=True)
+    return ModelWrapper(module, name="demucs", takes_train_flag=True,
+                        residual=bool(identity_init))
 
 
 MODEL_REGISTRY = {

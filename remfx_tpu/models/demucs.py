@@ -340,6 +340,11 @@ class HDecLayer(nn.Module):
     norm_groups: int = 4
     context: int = 1
     last: bool = False
+    # identity-start training (HDemucs.zero_final): zero the OUTPUT
+    # conv so the decoder contributes nothing at step 0; the wrapper's
+    # residual skip then makes the whole model an exact passthrough.
+    # Structure (and thus torch weight-compat) is unchanged.
+    zero_init: bool = False
 
     @nn.compact
     def __call__(self, x, skip, length, train: bool = False):
@@ -362,7 +367,9 @@ class HDecLayer(nn.Module):
         else:
             y = x
         cin = y.shape[-1]
-        kern = self.param("conv_tr_kernel", nn.initializers.lecun_normal(),
+        kern_init = (nn.initializers.zeros if self.zero_init
+                     else nn.initializers.lecun_normal())
+        kern = self.param("conv_tr_kernel", kern_init,
                           (self.kernel_size, cin, self.chout))
         kb = self.param("conv_tr_bias", nn.initializers.zeros, (self.chout,))
         if self.freq:
@@ -440,6 +447,11 @@ class HDemucs(nn.Module):
     norm_starts: int = 4
     dconv_lstm: int = 4
     dconv_attn: int = 4
+    # zero-init the two final (last=True) decoder output convs so the
+    # network's contribution is ~0 at init (the denorm adds only the
+    # batch-mean). Pairs with ModelWrapper.residual for identity-start
+    # training; False (torch-equivalent init) for weight-compat loads.
+    zero_final: bool = False
 
     # ---- spectral helpers (demucs _spec/_ispec/_magnitude/_mask) ----
 
@@ -558,6 +570,7 @@ class HDemucs(nn.Module):
                 p["dec_out_z"], kernel_size=p["kernel"], stride=p["stride"],
                 freq=p["freq"], norm=p["norm"], pad=p["pad"],
                 last=p["index"] == 0, name=f"freq_decoder_{pos}",
+                zero_init=self.zero_final and p["index"] == 0,
             )(z, skip, length, train=train)
             offset = self.depth - n_freq_layers
             if pos >= offset:
@@ -577,6 +590,7 @@ class HDemucs(nn.Module):
                         p["dec_out"], kernel_size=8, stride=4, freq=False,
                         norm=p["norm"], last=p["index"] == 0,
                         name=f"time_decoder_{tpos}",
+                        zero_init=self.zero_final and p["index"] == 0,
                     )(xt_dec, skip_t, length_t, train=train)
 
         # ---- spec output -> iSTFT ----

@@ -29,6 +29,12 @@ class ModelWrapper:
     name: str = "model"
     l1_weight: float = 100.0
     takes_train_flag: bool = False
+    # identity-start training mode (see make_demucs identity_init): the
+    # module's final layers are zero-init'd and the wrapper adds the
+    # input back, so step 0 is an exact passthrough — the same
+    # plateau-escape lever DCUNet/UMX get from their identity-init
+    # masks. Weight-compatible imports keep this False.
+    residual: bool = False
 
     def init(self, key, example_x):
         # jit: flax init otherwise dispatches op-by-op (90+ s for HDemucs
@@ -48,8 +54,13 @@ class ModelWrapper:
             out, updates = self.module.apply(
                 variables, *args, rngs=rngs, mutable=["batch_stats"], **kwargs
             )
+            if self.residual:
+                out = out + x[..., : out.shape[-1]]
             return out, updates
-        return self.module.apply(variables, *args, rngs=rngs, **kwargs), None
+        out = self.module.apply(variables, *args, rngs=rngs, **kwargs)
+        if self.residual:
+            out = out + x[..., : out.shape[-1]]
+        return out, None
 
     def forward(self, variables, batch, train: bool = False, rngs=None):
         """-> (loss, output, updates)."""

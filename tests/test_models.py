@@ -256,3 +256,26 @@ def test_embedding_classifier_mono_sums_stereo():
     out3 = net.apply(v, stereo)
     out2 = net.apply(v, stereo.sum(axis=1))
     np.testing.assert_allclose(np.asarray(out3), np.asarray(out2), atol=1e-6)
+
+
+def test_demucs_identity_init_starts_near_input(rng):
+    """identity_init=True zero-inits the two final decoder convs and
+    adds a residual skip in the wrapper, so a fresh HDemucs is a
+    passthrough up to the denorm means (~-50 dB rel err); without it the
+    random decoder fully scrambles the input. Param structure is
+    IDENTICAL either way (torch weight-compat imports keep False)."""
+    x = jnp.asarray(rng.standard_normal((1, 1, 4096)).astype(np.float32) * 0.1)
+
+    def rel_err_and_params(identity_init):
+        w = make_model("demucs", sources=["mixture"], audio_channels=1,
+                       nfft=256, channels=4, depth=3,
+                       identity_init=identity_init)
+        v = w.init(jax.random.PRNGKey(0), x)
+        y = w.sample(v, x)
+        return (float(jnp.linalg.norm(y - x) / jnp.linalg.norm(x)), v)
+
+    err_id, v_id = rel_err_and_params(True)
+    err_rand, v_rand = rel_err_and_params(False)
+    assert err_id < 1e-2 < err_rand
+    assert jax.tree_util.tree_structure(v_id) == \
+        jax.tree_util.tree_structure(v_rand)
