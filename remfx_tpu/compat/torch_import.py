@@ -424,6 +424,13 @@ def convert_dcunet(sd: dict) -> dict:
         parts = k.split(".")
         if parts[0] != "masker":
             continue  # encoder/decoder filterbank buffers: regenerated
+        if parts[1] == "mask_bias":
+            # remfx_tpu container extension (see export_dcunet): the
+            # identity-init mask bias has no slot in the stock asteroid
+            # format; round-trips of OUR trained ckpts carry it here.
+            # Published Zenodo files never contain this key.
+            params["mask_bias"] = v
+            continue
         if parts[1] == "encoders":
             lname = f"enc{parts[2]}"
             rest = parts[3:]
@@ -507,6 +514,15 @@ def export_dcunet(variables: dict) -> dict:
                     tree[f"{part}_bias"])
 
     for lname, tree in params.items():
+        if lname == "mask_bias":
+            # identity-init extension: no asteroid slot exists (the
+            # output layer is bias-free), so carry it verbatim under a
+            # namespaced key our convert_dcunet re-imports. A stock
+            # asteroid load_state_dict(strict=True) will reject such a
+            # file — by design: silently dropping it would change the
+            # mask function.
+            sd["masker.mask_bias"] = np.asarray(tree)
+            continue
         if lname == "output_conv":
             emit_conv("masker.output_layer", tree, transpose=True)
             continue
