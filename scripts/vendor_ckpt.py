@@ -8,7 +8,7 @@ layout consumed by ``load_trained_wrapper`` / ``bench_trained_chain``:
         variables/     (params-only orbax, bf16 params, fp32 batch_stats)
 
 Usage:
-    JAX_PLATFORMS=cpu python scripts/vendor_ckpt.py <run_logs_dir> <out_dir>
+    REMFX_PLATFORM=cpu python scripts/vendor_ckpt.py <run_logs_dir> <out_dir>
 
 The run dir is a ``logs_dir`` as written by train.loop.fit: it contains
 ``ckpts/<timestamp>/best`` (full TrainState) and
