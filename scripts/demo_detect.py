@@ -34,8 +34,12 @@ from remfx_tpu.data.wav import read_wav, write_wav  # noqa: E402
 # remover (the round-4 DCUNet reverb_aug supersedes the +0.2 dB UMX)
 TRAINED_PREFS = {
     "RandomPedalboardDistortion": ["ckpts/tcn_distortion_aug"],
-    "RandomPedalboardReverb": ["ckpts/dcunet_reverb_aug_r4",
+    "RandomPedalboardCompressor": ["ckpts/demucs_compressor_aug_r5"],
+    "RandomPedalboardReverb": ["ckpts/dcunet_reverb_aug_r5",
+                               "ckpts/dcunet_reverb_aug_r4",
                                "ckpts/umx_reverb_synth"],
+    "RandomPedalboardChorus": ["ckpts/dcunet_chorus_aug_r5"],
+    "RandomPedalboardDelay": ["ckpts/dcunet_delay_aug_r5"],
 }
 TRAINED = {
     k: next((p for p in prefs if Path(p).is_dir()), prefs[-1])
@@ -61,7 +65,8 @@ def main():
         for k, v in TRAINED.items() if Path(v).is_dir()
     }
     cfg["classifier_ckpt"] = next(
-        (p for p in ("ckpts/classifier_cnn14_r4", "ckpts/classifier_cnn14")
+        (p for p in ("ckpts/classifier_cnn14_r5", "ckpts/classifier_cnn14_r4",
+                     "ckpts/classifier_cnn14")
          if Path(p).is_dir()), "ckpts/classifier_cnn14")
     x = jnp.asarray(audio, jnp.float32)[None]
     chain = build_chain(cfg, x)
