@@ -6,7 +6,9 @@
 # set RUN_TPU_TESTS=1 to include real-TPU tests.
 
 PYTEST ?= python -m pytest
-XDIST ?= -n 8
+# xdist only helps with >1 CPU; on a 1-vCPU box 8 workers just thrash
+NPROC := $(shell nproc 2>/dev/null || echo 1)
+XDIST ?= $(if $(filter-out 1,$(NPROC)),-n $(NPROC),)
 
 .PHONY: test test-slow test-all bench oracle
 
