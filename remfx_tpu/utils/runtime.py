@@ -13,6 +13,22 @@ from pathlib import Path
 import jax
 
 
+def _host_fingerprint() -> str:
+    """Short stable hash of this host's CPU feature flags."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(
+                (ln for ln in f if ln.startswith(("flags", "Features"))), ""
+            )
+    except OSError:
+        import platform as _platform
+
+        flags = _platform.processor() or _platform.machine()
+    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+
+
 def setup(cache_dir: str | None = None):
     # The axon sitecustomize pins jax_platforms via jax.config at
     # interpreter start, overriding the JAX_PLATFORMS env var. Honor an
@@ -28,6 +44,14 @@ def setup(cache_dir: str | None = None):
     # risks SIGILL
     backend = platform or os.environ.get("JAX_PLATFORMS", "device").split(",")[0]
     cache = str(Path(cache) / backend)
+    if backend == "cpu":
+        # ...and per-HOST: a cpu cache written on a box with different
+        # ISA features segfaults when its AOT results load here (seen
+        # live: SIGSEGV in backend_compile_and_load loading avx512/
+        # prefer-no-scatter artifacts on a host without them). Key the
+        # cpu cache by the host's feature set so stale-machine entries
+        # simply miss.
+        cache = str(Path(cache) / _host_fingerprint())
     Path(cache).mkdir(parents=True, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache)

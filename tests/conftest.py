@@ -18,9 +18,26 @@ if "xla_force_host_platform_device_count" not in flags:
 # Persistent compile cache: repeat suite runs skip recompilation (the
 # dominant cost of the suite on this 1-vCPU box). The CLI subprocess
 # tests keep their own cache (.jax_cache_cli, tests/test_cli.py).
+# Keyed by host CPU fingerprint: XLA:CPU AOT entries from a previous
+# machine SIGSEGV on load when ISA features differ (seen live; same fix
+# as utils/runtime.py).
+def _host_fingerprint():
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(
+                (ln for ln in f if ln.startswith(("flags", "Features"))), ""
+            )
+    except OSError:
+        flags = ""
+    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+
+
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache_tests"),
+    os.path.join(os.path.dirname(__file__), os.pardir,
+                 ".jax_cache_tests", _host_fingerprint()),
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
