@@ -11,8 +11,9 @@
 # twice at the same suite position with a fresh compile cache; the same
 # tests pass in any smaller grouping). Process isolation bounds the
 # per-process compile count and also gives per-tier wall times.
-# Measured on the 1-vCPU round-5 box (warm compile cache):
-#   test-fast ~3 min; parity group ~4 min; integration group ~6 min.
+# (Wall time on a 1-vCPU box is dominated by XLA:CPU compiles: budget
+# minutes cold, far less with the warm per-host cache; run `time make
+# test-fast` once on your box for the local number.)
 
 PYTEST ?= python -m pytest
 # xdist only helps with >1 CPU; on a 1-vCPU box 8 workers just thrash
